@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Local replay of the driver's t2 correctness gate (SURVEY.md §5.4).
+
+Usage: python3 tools/preverify.py <sfDir> <outDir> [query ...]
+
+Reads <outDir>/oracle_sql.json (written by graft.Verify), attaches every
+table in <sfDir> as a same-named DuckDB view, runs each oracle SQL, and
+compares the result to the engine's parquet at <outDir>/<name>/ — columns
+sorted by name, values compared cell-by-cell after dtype normalization.
+
+Exit code 0 iff every query matches.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    """Normalize a cell for comparison across duckdb/parquet dtypes."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm_cell(x)) for k, x in v.items()))
+    return v
+
+
+def fetch_norm(con, sql):
+    cur = con.sql(sql)
+    cols = list(cur.columns)
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = cur.fetchall()
+    return [cols[i] for i in order], [tuple(norm_cell(r[i]) for i in order) for r in rows]
+
+
+def main():
+    sf_dir, out_dir = Path(sys.argv[1]), Path(sys.argv[2])
+    only = set(sys.argv[3:])
+    oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        p = sf_dir / f"{t}.parquet"
+        if p.exists():
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        res_dir = out_dir / name
+        if not res_dir.exists():
+            print(f"FAIL {name}: engine output missing at {res_dir}")
+            n_fail += 1
+            continue
+        try:
+            ocols, orows = fetch_norm(con, sql)
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        try:
+            ecols, erows = fetch_norm(con, f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
+        except Exception as e:
+            print(f"FAIL {name}: engine parquet read error: {e}")
+            n_fail += 1
+            continue
+        if ocols != ecols:
+            print(f"FAIL {name}: column mismatch oracle={ocols} engine={ecols}")
+            n_fail += 1
+            continue
+        if len(orows) != len(erows):
+            print(f"FAIL {name}: row count oracle={len(orows)} engine={len(erows)}")
+            n_fail += 1
+            continue
+        bad = [(i, o, e) for i, (o, e) in enumerate(zip(orows, erows)) if o != e]
+        if bad:
+            i, o, e = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(orows)} rows differ; first at {i}:\n  oracle {o}\n  engine {e}\n  cols   {ocols}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(orows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
