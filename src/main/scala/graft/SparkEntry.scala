@@ -16,10 +16,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Aggregations.defs
+    Scans.defs ++ Filters.defs ++ Joins.defs ++ Aggregations.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Aggregations.oracles
+    Scans.oracles ++ Filters.oracles ++ Joins.oracles ++ Aggregations.oracles
 }

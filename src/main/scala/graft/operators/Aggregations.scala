@@ -8,18 +8,19 @@ import graft.Tables
   *
   * Determinism conventions (SURVEY.md §1.3 ⚠L3), applied to every
   * oracle-checked query here and elsewhere:
-  *   - every double aggregate is wrapped `round(_, 2)` (or 4 for averages) on
-  *     BOTH the Spark and the DuckDB side — double sums are shuffle-order
-  *     dependent at ~1e-9 relative, far below the rounding quantum;
+  *   - every double aggregate is wrapped `round(_, 2)` (or 4/6 for averages
+  *     and moments) on BOTH the Spark and the DuckDB side — double sums are
+  *     shuffle-order dependent at ~1e-9 relative, far below the rounding
+  *     quantum;
   *   - a total-order `orderBy` on a unique key is the LAST transformation, so
   *     the driver's `coalesce(1)` write preserves a deterministic row order.
   *
-  * Scale notes: every query below is a single hash-aggregate over the fact
-  * table — partial (map-side) aggregation then a final agg after one shuffle
-  * on the grouping keys. Group cardinalities are tiny (≤ thousands), so the
-  * shuffle moves only partial aggregates, not rows; this holds at 100 TB as
-  * long as grouping keys stay low-cardinality, and Spark spills the hash map
-  * when they don't.
+  * Scale notes: every query below is a hash aggregate — partial (map-side)
+  * aggregation, then one shuffle on the grouping keys carrying only partial
+  * states. Group cardinalities here are small; for high-cardinality keys
+  * Spark's HashAggregateExec spills, so the same plans hold at 100 TB.
+  * ROLLUP/CUBE expand rows before aggregation (Expand operator) — partial
+  * aggregation still applies per grouping set.
   */
 object Aggregations {
 
@@ -39,8 +40,142 @@ object Aggregations {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** Distribution stats per event_type (min/max are selections — exact;
+    * moments rounded). */
+  def aggMultiStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(
+        min("value").as("min_value"),
+        max("value").as("max_value"),
+        round(avg("value"), 4).as("avg_value"),
+        round(stddev_samp("value"), 4).as("stddev_value"),
+        round(var_samp("value"), 4).as("var_value"),
+        count(lit(1)).as("cnt"),
+        countDistinct("user_id").as("distinct_users"))
+      .orderBy("event_type")
+
+  def aggDistinctExact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts_ntz")).as("day"))
+      .agg(countDistinct("user_id").as("distinct_users"))
+      .orderBy("day")
+
+  /** HLL++ estimate — no oracle (estimator differs across engines); the spec
+    * asserts ±5% of exact. */
+  def aggApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id").as("approx_users"))
+      .orderBy("event_type")
+
+  private def starRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+  }
+
+  /** ROLLUP(r_name, n_name); rolled-up key levels surfaced via coalesce so
+    * both engines emit identical sentinel strings instead of NULL-typed keys.
+    * Runs through spark.sql on a temp view: Spark's ambiguous-self-join
+    * lineage check misfires on DataFrame-API rollup over joined inputs, and
+    * SQL resolution sidesteps it. */
+  def aggRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    starRevenue(spark, sfDir)
+      .select("r_name", "n_name", "o_totalprice")
+      .createOrReplaceTempView("rollup_src")
+    spark.sql(
+      """SELECT coalesce(r_name, '__all__') AS r_name,
+        |  coalesce(n_name, '__all__') AS n_name,
+        |  round(sum(o_totalprice), 2) AS revenue, count(*) AS order_cnt
+        |FROM rollup_src
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name, n_name""".stripMargin)
+  }
+
+  def aggCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("__all__")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("__all__")).as("l_linestatus"),
+        col("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** GROUPING SETS via spark.sql — the one SQL-parser entry (DataFrame API
+    * has no grouping-sets method). */
+  def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("gs_customer")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("gs_nation")
+    spark.sql(
+      """SELECT coalesce(c_mktsegment, '__all__') AS segment,
+        |  coalesce(n_name, '__all__') AS nation,
+        |  round(sum(c_acctbal), 2) AS acctbal_sum, count(*) AS cnt
+        |FROM gs_customer JOIN gs_nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+        |ORDER BY segment, nation""".stripMargin)
+  }
+
+  def aggHaving(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("order_cnt"))
+      .filter(col("order_cnt") > 10)
+      .orderBy("o_custkey")
+
+  /** Pivot events: rows = day, columns = event_type, values = sum(value). */
+  def aggPivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts_ntz")).as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum("value"), 2))
+      .orderBy("day")
+
+  /** Exact interpolated percentiles (Spark `percentile` ≡ percentile_cont). */
+  def aggPercentileExact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+      .orderBy("o_orderpriority")
+
+  /** Cross-moments of value vs the JSON-extracted props.k. */
+  def aggCorrCovar(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+      .groupBy("event_type")
+      .agg(round(corr("value", "k"), 6).as("corr_vk"),
+        round(covar_samp("value", "k"), 6).as("covar_vk"))
+      .orderBy("event_type")
+
+  /** Per nation: first 5 of the sorted list of customer account balances. */
+  def aggCollectSorted(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(slice(array_sort(collect_list("c_acctbal")), 1, 5).as("top_bals"))
+      .orderBy("n_name")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_pricing_summary" -> aggPricingSummary,
+    "agg_multi_stats" -> aggMultiStats,
+    "agg_distinct_exact" -> aggDistinctExact,
+    "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_rollup" -> aggRollup,
+    "agg_cube" -> aggCube,
+    "agg_grouping_sets" -> aggGroupingSets,
+    "agg_having" -> aggHaving,
+    "agg_pivot" -> aggPivot,
+    "agg_percentile_exact" -> aggPercentileExact,
+    "agg_corr_covar" -> aggCorrCovar,
+    "agg_collect_sorted" -> aggCollectSorted,
   )
 
   val oracles: Map[String, String] = Map(
@@ -57,5 +192,65 @@ object Aggregations {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_multi_stats" ->
+      """SELECT event_type, min(value) AS min_value, max(value) AS max_value,
+        |  round(avg(value), 4) AS avg_value,
+        |  round(stddev_samp(value), 4) AS stddev_value,
+        |  round(var_samp(value), 4) AS var_value,
+        |  count(*) AS cnt, count(DISTINCT user_id) AS distinct_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_distinct_exact" ->
+      """SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS distinct_users
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    // agg_approx_distinct: estimator-specific — spec-checked, no oracle.
+    "agg_rollup" ->
+      """SELECT coalesce(r_name, '__all__') AS r_name,
+        |  coalesce(n_name, '__all__') AS n_name,
+        |  round(sum(o_totalprice), 2) AS revenue, count(*) AS order_cnt
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name, n_name""".stripMargin,
+    "agg_cube" ->
+      """SELECT coalesce(l_returnflag, '__all__') AS l_returnflag,
+        |  coalesce(l_linestatus, '__all__') AS l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT coalesce(c_mktsegment, '__all__') AS segment,
+        |  coalesce(n_name, '__all__') AS nation,
+        |  round(sum(c_acctbal), 2) AS acctbal_sum, count(*) AS cnt
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+        |ORDER BY segment, nation""".stripMargin,
+    "agg_having" ->
+      """SELECT o_custkey, count(*) AS order_cnt FROM orders
+        |GROUP BY o_custkey HAVING count(*) > 10 ORDER BY o_custkey""".stripMargin,
+    "agg_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  round(sum(value) FILTER (WHERE event_type = 'click'), 2) AS click,
+        |  round(sum(value) FILTER (WHERE event_type = 'error'), 2) AS error,
+        |  round(sum(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase,
+        |  round(sum(value) FILTER (WHERE event_type = 'signup'), 2) AS signup,
+        |  round(sum(value) FILTER (WHERE event_type = 'view'), 2) AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "agg_percentile_exact" ->
+      """SELECT o_orderpriority,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50,
+        |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_corr_covar" ->
+      """SELECT event_type,
+        |  round(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS corr_vk,
+        |  round(covar_samp(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS covar_vk
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_collect_sorted" ->
+      """SELECT n_name, (list(c_acctbal ORDER BY c_acctbal))[:5] AS top_bals
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
   )
 }

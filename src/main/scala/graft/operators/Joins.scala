@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Join operators (SURVEY.md §2.3).
+  *
+  * Scale notes:
+  *  - Dimension tables (region/nation/customer/supplier/part) are broadcast —
+  *    explicitly where the join is the point (`join_broadcast`), via
+  *    autoBroadcastJoinThreshold elsewhere. Fact⋈fact joins shuffle on the
+  *    equi key, which co-partitions both sides; at 100 TB that's the right
+  *    plan (hash-partitioned shuffle join + AQE skew splitting).
+  *  - The theta/interval joins keep an equi term (custkey / user_id) in the
+  *    join condition so Catalyst plans a hash join with the range predicate
+  *    as a post-filter, never a nested-loop cross product.
+  *  - `join_asof` composes equi-join + windowed row_number, the standard
+  *    scalable as-of pattern (the window partitions by the left key, so state
+  *    per key is bounded by matches per key, not table size).
+  */
+object Joins {
+
+  def joinInnerHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+      .groupBy("o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("line_cnt"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** 4-way star join with explicit broadcast of every dimension. */
+  def joinBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("order_cnt"))
+      .orderBy("r_name")
+  }
+
+  /** Same equi-join forced to SortMergeJoinExec via hint — result identical. */
+  def joinSortMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).hint("merge")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("line_cnt"))
+      .orderBy("o_orderstatus")
+  }
+
+  def joinLeftOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("order_cnt"))
+      .orderBy("c_custkey")
+  }
+
+  def joinFullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 100000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(coalesce(c("c_custkey"), o("o_custkey")).as("custkey"),
+        col("o_orderkey"),
+        c("c_custkey").isNotNull.as("has_customer"),
+        o("o_orderkey").isNotNull.as("has_order"))
+      .orderBy(asc_nulls_first("custkey"), asc_nulls_first("o_orderkey"))
+  }
+
+  def joinLeftSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val urgent = Tables.orders(spark, sfDir).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  def joinLeftAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o95 = Tables.orders(spark, sfDir).filter(year(col("o_orderdate")) === 1995)
+    c.join(o95, c("c_custkey") === o95("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  def joinCross(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    n.crossJoin(r)
+      .select(concat_ws("/", col("n_name"), col("r_name")).as("pair"))
+      .orderBy("pair")
+  }
+
+  /** Non-equi range join: second order of the same customer within 30 days of
+    * the first. The custkey equi term keeps this a hash join. */
+  def joinThetaRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val o1 = o.select(col("o_custkey").as("custkey"), col("o_orderkey").as("ok1"), col("o_orderdate").as("d1"))
+    val o2 = o.select(col("o_custkey").as("ck2"), col("o_orderkey").as("ok2"), col("o_orderdate").as("d2"))
+    o1.join(o2, col("custkey") === col("ck2") && col("d1") < col("d2") &&
+        col("d2") <= col("d1") + expr("INTERVAL 30 DAYS"))
+      .select("custkey", "ok1", "ok2")
+      .orderBy("ok1", "ok2")
+  }
+
+  /** As-of join: for each purchase event, the most recent order of the mapped
+    * customer (user_id = o_custkey, o_orderdate <= event time). */
+  def joinAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir).filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_ntz", "epoch_us")
+    val o = Tables.orders(spark, sfDir)
+    val w = Window.partitionBy("event_id").orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    ev.join(o, ev("user_id") === o("o_custkey") && o("o_orderdate") <= ev("ts_ntz"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id", "epoch_us", "o_orderkey", "o_orderdate")
+      .orderBy("event_id")
+  }
+
+  /** Interval join on a shared timeline: per purchase event, count error
+    * events of the same user in the preceding hour (long microsecond
+    * arithmetic on both engines — exact). */
+  def joinInterval(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("uid"), col("epoch_us").as("p_us"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("uid2"), col("epoch_us").as("e_us"))
+    p.join(e, col("uid") === col("uid2") &&
+        col("e_us") >= col("p_us") - lit(3600000000L) && col("e_us") <= col("p_us"), "left")
+      .groupBy("event_id")
+      .agg(count(col("e_us")).as("err_cnt"))
+      .orderBy("event_id")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_inner_hash" -> joinInnerHash,
+    "join_broadcast" -> joinBroadcast,
+    "join_sort_merge" -> joinSortMerge,
+    "join_left_outer" -> joinLeftOuter,
+    "join_full_outer" -> joinFullOuter,
+    "join_left_semi" -> joinLeftSemi,
+    "join_left_anti" -> joinLeftAnti,
+    "join_cross" -> joinCross,
+    "join_theta_range" -> joinThetaRange,
+    "join_asof" -> joinAsof,
+    "join_interval" -> joinInterval,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "join_inner_hash" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS line_cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_broadcast" ->
+      """SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS order_cnt
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "join_sort_merge" ->
+      """SELECT o_orderstatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS line_cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS order_cnt
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_full_outer" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey, o_orderkey,
+        |  c_custkey IS NOT NULL AS has_customer,
+        |  o_orderkey IS NOT NULL AS has_order
+        |FROM customer
+        |FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 100000) o
+        |  ON c_custkey = o.o_custkey
+        |ORDER BY custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin,
+    "join_left_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "join_left_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_cross" ->
+      """SELECT concat_ws('/', n_name, r_name) AS pair
+        |FROM nation CROSS JOIN region ORDER BY pair""".stripMargin,
+    "join_theta_range" ->
+      """SELECT o1.o_custkey AS custkey, o1.o_orderkey AS ok1, o2.o_orderkey AS ok2
+        |FROM orders o1 JOIN orders o2
+        |  ON o1.o_custkey = o2.o_custkey
+        | AND o1.o_orderdate < o2.o_orderdate
+        | AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 30 DAY
+        |ORDER BY ok1, ok2""".stripMargin,
+    "join_asof" ->
+      """SELECT event_id, epoch_us, o_orderkey, o_orderdate FROM (
+        |  SELECT e.event_id, epoch_us(e.ts) AS epoch_us, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+        |  WHERE e.event_type = 'purchase'
+        |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "join_interval" ->
+      """SELECT p.event_id, count(e.e_us) AS err_cnt
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS p_us FROM events
+        |      WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id, epoch_us(ts) AS e_us FROM events
+        |      WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id
+        | AND e.e_us >= p.p_us - 3600000000 AND e.e_us <= p.p_us
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+  )
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Scan / source / sink operators (SURVEY.md §2.1).
+  *
+  * Scale notes: scans are plain parquet leaves — Catalyst pushes projections
+  * into `ReadSchema` (verified via explain in the spec), so `scan_pruned`
+  * reads 2 of 11 lineitem columns off disk. Ordering for determinism is the
+  * only shuffle in these queries.
+  */
+object Scans {
+
+  /** Full lineitem scan with a count-preserving projection. NOTE: the
+    * synthetic lineitem has duplicate (l_orderkey, l_linenumber) pairs, so
+    * row-level outputs sort by ALL columns — ties are then bit-identical
+    * rows and any tie order compares equal. */
+  def scanLineitem(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus")
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus")
+
+  /** Two-column scan — exercises parquet column pruning. Ties in the sort are
+    * bit-identical rows, so ordering by all output columns is a total order
+    * on content. */
+  def scanPruned(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity")
+      .orderBy("l_orderkey", "l_quantity")
+
+  /** events scan with the nanos→micros conversion (SURVEY §1.3 ⚠L1). */
+  def scanEventsNanos(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select("event_id", "epoch_us", "user_id", "event_type", "value")
+      .orderBy("event_id")
+
+  /** CSV + JSON sink/source roundtrip (side-effecting — rows-only check; the
+    * full row-equality assertion lives in the ScalaTest spec). Writes a
+    * lineitem sample to a temp dir in both formats, reads both back with an
+    * explicit schema, and returns per-flag counts from each format joined —
+    * equal counts prove the roundtrip preserved rows. */
+  def sourceCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip"
+    val sample = Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") < 1000)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    sample.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    sample.write.mode("overwrite").json(s"$tmp/json")
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType), StructField("l_returnflag", StringType)))
+    val fromCsv = spark.read.schema(schema).option("header", "true").csv(s"$tmp/csv")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("csv_rows"))
+    val fromJson = spark.read.schema(schema).json(s"$tmp/json")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("json_rows"))
+    fromCsv.join(fromJson, "l_returnflag").orderBy("l_returnflag")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_lineitem" -> scanLineitem,
+    "scan_pruned" -> scanPruned,
+    "scan_events_nanos" -> scanEventsNanos,
+    "source_csv_roundtrip" -> sourceCsvRoundtrip,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_lineitem" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  l_quantity, l_extendedprice, l_returnflag, l_linestatus
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  l_quantity, l_extendedprice, l_returnflag, l_linestatus""".stripMargin,
+    "scan_pruned" ->
+      "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_quantity",
+    "scan_events_nanos" ->
+      """SELECT event_id, epoch_us(ts) AS epoch_us, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    // source_csv_roundtrip: side-effecting sink coverage — rows-only check.
+  )
+}
