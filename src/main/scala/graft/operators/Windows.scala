@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Window-function operators (SURVEY.md §2.5).
+  *
+  * Determinism: every window ORDER BY carries a unique tiebreak column so
+  * ranking functions are total-order deterministic, and the identical ORDER BY
+  * appears in the oracle SQL. Running double sums execute left-to-right in
+  * frame order on both engines, so values agree before rounding; rounding is
+  * still applied as belt-and-braces.
+  *
+  * Scale notes: all windows partition by a key (customer, segment) — state per
+  * partition is bounded by that key's rows, and partitions shuffle-distribute
+  * across executors. The two whole-table windows (`win_ntile_cume`,
+  * `win_moving_avg`) order a *pre-aggregated* or dimension-sized input (15k
+  * customers / 30 days at sf0.1), never the raw fact table, so the single-
+  * partition sort stays trivially small even at 100 TB fact scale.
+  */
+object Windows {
+
+  def winRankDense(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(desc("c_acctbal"), asc("c_custkey"))
+    Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        row_number().over(w).as("rn"))
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  def winTopkPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  def winRunningSum(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(sum("o_totalprice").over(w), 2).as("running_total"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  /** 7-day moving average of daily event value (classic finance MA). */
+  def winMovingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts_ntz")).as("day"))
+      .agg(sum("value").as("day_value"))
+    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    daily.select(col("day"), round(avg("day_value").over(w), 2).as("ma7"))
+      .orderBy("day")
+  }
+
+  /** Day-over-day percent change of daily order revenue. */
+  def winLagReturns(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum("o_totalprice").as("rev"))
+    val w = Window.orderBy("day")
+    daily.select(col("day"),
+        round((col("rev") - lag("rev", 1).over(w)) / lag("rev", 1).over(w), 6).as("ret"))
+      .orderBy("day")
+  }
+
+  def winNtileCume(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy("c_acctbal", "c_custkey")
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_acctbal"),
+        ntile(10).over(w).as("decile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("c_custkey")
+  }
+
+  /** RANGE frame: customers within ±100 acctbal of each row, per segment. */
+  def winRangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal").rangeBetween(-100, 100)
+    Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        count(lit(1)).over(w).as("near_cnt"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  def winFirstLastNth(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        first("o_totalprice").over(w).as("first_price"),
+        last("o_totalprice").over(w).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .distinct()
+      .orderBy("o_custkey")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rank_dense" -> winRankDense,
+    "win_topk_per_group" -> winTopkPerGroup,
+    "win_running_sum" -> winRunningSum,
+    "win_moving_avg" -> winMovingAvg,
+    "win_lag_returns" -> winLagReturns,
+    "win_ntile_cume" -> winNtileCume,
+    "win_range_frame" -> winRangeFrame,
+    "win_first_last_nth" -> winFirstLastNth,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "win_rank_dense" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk, row_number() OVER w AS rn
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_mktsegment, rn""".stripMargin,
+    "win_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "win_running_sum" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "win_moving_avg" ->
+      """SELECT day, round(avg(day_value) OVER (ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
+        |FROM (SELECT CAST(ts AS DATE) AS day, sum(value) AS day_value
+        |      FROM events GROUP BY 1)
+        |ORDER BY day""".stripMargin,
+    "win_lag_returns" ->
+      """SELECT day, round((rev - lag(rev, 1) OVER (ORDER BY day))
+        |    / lag(rev, 1) OVER (ORDER BY day), 6) AS ret
+        |FROM (SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+        |      FROM orders GROUP BY 1)
+        |ORDER BY day""".stripMargin,
+    "win_ntile_cume" ->
+      """SELECT c_custkey, c_acctbal,
+        |  ntile(10) OVER w AS decile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM customer WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "win_range_frame" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  count(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+        |    RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING) AS near_cnt
+        |FROM customer ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "win_first_last_nth" ->
+      """SELECT DISTINCT o_custkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER w AS last_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey""".stripMargin,
+  )
+}
