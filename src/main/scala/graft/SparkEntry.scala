@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.operators._
+import graft.functions.ScalarFuncs
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,11 +18,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Scans.defs ++ Filters.defs ++ Joins.defs ++ Aggregations.defs ++
-      Windows.defs ++ Sorts.defs ++ SetOps.defs
+      Windows.defs ++ Sorts.defs ++ SetOps.defs ++ ScalarFuncs.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Scans.oracles ++ Filters.oracles ++ Joins.oracles ++ Aggregations.oracles ++
-      Windows.oracles ++ Sorts.oracles ++ SetOps.oracles
+      Windows.oracles ++ Sorts.oracles ++ SetOps.oracles ++ ScalarFuncs.oracles
 }
