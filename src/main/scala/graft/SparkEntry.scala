@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Scans.defs ++ Filters.defs ++ Joins.defs ++ Aggregations.defs ++
-      Windows.defs ++ Sorts.defs ++ SetOps.defs ++ ScalarFuncs.defs
+      Windows.defs ++ Sorts.defs ++ SetOps.defs ++ ScalarFuncs.defs ++
+      EventTime.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Scans.oracles ++ Filters.oracles ++ Joins.oracles ++ Aggregations.oracles ++
-      Windows.oracles ++ Sorts.oracles ++ SetOps.oracles ++ ScalarFuncs.oracles
+      Windows.oracles ++ Sorts.oracles ++ SetOps.oracles ++ ScalarFuncs.oracles ++
+      EventTime.oracles
 }

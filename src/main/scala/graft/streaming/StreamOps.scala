@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** A minimal event record for streaming pipelines. `ts` is the event-time
+  * column every watermark hangs off. */
+case class Evt(ts: java.sql.Timestamp, user: Long, value: Double, id: Long)
+
+/** Structured Streaming operators (SURVEY.md §2.9 streaming rows).
+  *
+  * Each function takes an unbounded DataFrame/Dataset (from `readStream` in
+  * production, MemoryStream in the specs) and declares the streaming
+  * transformation; the same code also runs in batch mode because only
+  * declarative constructs are used.
+  *
+  * Scale: state per key is what bounds memory at 100 TB/day — tumbling
+  * windows keep one row per (window, key) until the watermark passes,
+  * sessions one span per active session, dedup one key per id within the
+  * watermark horizon. The 10-minute watermark is the knob trading latency
+  * for state size.
+  */
+object StreamOps {
+
+  /** 1-hour tumbling counts with a 10-minute watermark (append mode: a window
+    * emits exactly once, when the watermark passes its end). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("cnt"))
+
+  /** Per-user session windows (30-minute gap) under a 10-minute watermark. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("session_start"), col("user"), col("cnt"))
+
+  /** Exactly-once-per-id dedup bounded by the watermark horizon. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+
+  /** Arbitrary stateful processing: running per-user event count
+    * (mapGroupsWithState; update output mode). */
+  def runningUserCounts(events: Dataset[Evt]): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Evt], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + batch.size
+          state.update(total)
+          (user, total)
+      }
+  }
+}

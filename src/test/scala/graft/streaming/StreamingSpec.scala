@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Structured Streaming semantics (SURVEY.md §2.9 ✗-oracle rows): watermarks,
+  * late-data drop, session merge across batches, dedup-within-watermark,
+  * arbitrary state. Watermark timing note: the watermark used during batch N
+  * is derived from data seen through batch N-1, so finalized windows emit one
+  * trigger after the advancing data arrives.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(hhmm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+  private def evt(hhmm: String, user: Long = 1L, id: Long = 0L) = Evt(ts(hhmm), user, 1.0, id)
+
+  test("tumbling window with watermark drops late rows and finalizes on watermark pass") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Evt]
+    val q = StreamOps.tumblingCounts(in.toDF)
+      .writeStream.format("memory").queryName("t_tumbling").outputMode("append").start()
+    try {
+      in.addData(evt("10:00"), evt("10:30"))
+      q.processAllAvailable()
+      in.addData(evt("10:40"), evt("12:00")) // 10:40 within watermark (10:20) — kept
+      q.processAllAvailable()
+      in.addData(evt("10:45"), evt("13:00")) // wm now 11:50 — 10:45 dropped; [10,11) emits
+      q.processAllAvailable()
+      in.addData(evt("14:00")) // wm 12:50 — [12,13) emits
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT ws, cnt FROM t_tumbling").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+      assert(rows(ts("10:00")) == 3, "late-but-within-watermark row must be counted")
+      assert(rows(ts("12:00")) == 1)
+      assert(!rows.contains(ts("13:00")), "unfinalized window must not emit in append mode")
+    } finally q.stop()
+  }
+
+  test("session windows merge within gap and finalize past the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Evt]
+    val q = StreamOps.sessionCounts(in.toDF)
+      .writeStream.format("memory").queryName("t_session").outputMode("append").start()
+    try {
+      in.addData(evt("10:00"), evt("10:10"), evt("11:00")) // sessions: [10:00,10:40) x2, [11:00,11:30) x1
+      q.processAllAvailable()
+      in.addData(evt("13:00", user = 2L)) // advances wm to 12:50 after this batch
+      q.processAllAvailable()
+      in.addData(evt("14:00", user = 2L)) // batch runs with wm 12:50 — user-1 sessions emit
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT session_start, user, cnt FROM t_session WHERE user = 1").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(2))).toMap
+      assert(rows == Map(ts("10:00") -> 2L, ts("11:00") -> 1L))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses replayed ids") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Evt]
+    val q = StreamOps.dedupWithinWatermark(in.toDF)
+      .writeStream.format("memory").queryName("t_dedup").outputMode("append").start()
+    try {
+      in.addData(evt("10:00", id = 1L), evt("10:05", id = 2L))
+      q.processAllAvailable()
+      in.addData(evt("10:06", id = 1L), evt("10:30", id = 3L)) // id=1 replayed — dropped
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT id FROM t_dedup").collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps a running per-user count across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Evt]
+    val q = StreamOps.runningUserCounts(in.toDS)
+      .toDF("user", "total")
+      .writeStream.format("memory").queryName("t_state").outputMode("update").start()
+    try {
+      in.addData(evt("10:00"), evt("10:01"), evt("10:02", user = 2L))
+      q.processAllAvailable()
+      in.addData(evt("10:10"))
+      q.processAllAvailable()
+      val latest = spark.sql("SELECT user, max(total) FROM t_state GROUP BY user").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(latest == Map(1L -> 3L, 2L -> 1L))
+    } finally q.stop()
+  }
+}
