@@ -1,0 +1,345 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** LLM-training-data text operators (SURVEY.md §2.10 + builder-prompt
+  * extensions: language-ID, quality scoring, token counting, fingerprinting,
+  * SimHash).
+  *
+  * Scale notes:
+  *  - Exact dedup is a hash-partitioned window/groupBy on the normalized-text
+  *    hash — one shuffle, no pairwise work.
+  *  - Near-dup is LSH-shaped: MinHash signatures per doc, banded bucket join
+  *    — candidate pairs only ever meet inside a bucket, so the quadratic
+  *    blow-up is bounded by bucket width, the 100 TB-safe pattern. The exact
+  *    Jaccard companion is blocked by (lang, source) for the same reason.
+  *  - Everything else is explode → aggregate: linear in token count,
+  *    partial-agg friendly.
+  */
+object LlmText {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).withColumn("norm", lower(trim(col("text"))))
+
+  /** Exact dedup on normalized text, keep min doc_id; survivor count per lang. */
+  def llmDedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("norm")
+    docs(spark, sfDir)
+      .withColumn("keeper", min("doc_id").over(w))
+      .filter(col("doc_id") === col("keeper"))
+      .groupBy("lang").agg(count(lit(1)).as("survivors"))
+      .orderBy("lang")
+  }
+
+  /** MinHash near-dup candidates: 3-token shingles → 32 xxhash64 permutations
+    * → min per (doc, perm) → 8 bands × 4 rows → bucket join → pairs with
+    * estimated Jaccard ≥ 0.8 (fraction of equal minhash slots). Rows-only:
+    * hash permutations are engine-specific (no oracle); the exact companion
+    * `llm_jaccard_exact` is the oracle-checked row, and MinHashSpec asserts
+    * estimate quality against exact Jaccard. */
+  def llmDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val sh = d.select(col("doc_id"), explode(shingles(col("norm"), 3)).as("shingle")).distinct()
+    val perms = (0 until 32).map(i => min(xxhash64(concat(col("shingle"), lit(s"#$i")))).as(s"mh$i"))
+    val sigs = sh.groupBy("doc_id").agg(perms.head, perms.tail: _*)
+      .withColumn("sig", array((0 until 32).map(i => col(s"mh$i")): _*))
+      .select("doc_id", "sig")
+    val bands = sigs.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until 8).map(b => xxhash64(concat_ws("_",
+          lit(b) +: (0 until 4).map(r => col(s"sig")(b * 4 + r).cast("string")): _*))): _*)))
+      .toDF("doc_id", "sig", "band_idx", "band_hash")
+    val a = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("a"), col("sig").as("sig_a"))
+    val b = bands.select(col("band_idx").as("bi2"), col("band_hash").as("bh2"), col("doc_id").as("b"), col("sig").as("sig_b"))
+    a.join(b, col("band_idx") === col("bi2") && col("band_hash") === col("bh2") && col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / 32.0).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= 0.8)
+      .orderBy("a", "b")
+  }
+
+  /** token-position n-shingles as space-joined strings via SQL transform. */
+  private def shingles(text: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+    val toks = split(text, " ")
+    filter(
+      transform(sequence(lit(0), size(toks) - n), i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
+      s => length(s) > 0)
+  }
+
+  /** Exact token-set Jaccard for doc pairs within the same (lang, source)
+    * block, threshold 0.5. */
+  def llmJaccardExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(split(col("norm"), " "))).as("token"))
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val ta = tok.select(col("doc_id").as("a"), col("lang"), col("source"), col("token"))
+    val tb = tok.select(col("doc_id").as("b"), col("lang").as("lang2"), col("source").as("source2"), col("token").as("token2"))
+    val inter = ta.join(tb, col("lang") === col("lang2") && col("source") === col("source2") &&
+        col("token") === col("token2") && col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("a", "b", "jaccard")
+      .orderBy("a", "b")
+  }
+
+  /** TF-IDF with smoothing idf = ln((N+1)/(df+1)) + 1; top term per doc. */
+  def llmTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val tok = d.select(col("doc_id"), explode(split(col("norm"), " ")).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tok.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val n = d.count()
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("token"))
+    tf.join(broadcast(df), "token")
+      .withColumn("tfidf", round(col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("token").as("top_term"), col("tfidf"))
+      .orderBy("doc_id")
+  }
+
+  /** Top-20 corpus bigrams (window lead over token positions). */
+  def llmNgrams(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = docs(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("norm"), " ")))
+      .toDF("doc_id", "pos", "token")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    tok.withColumn("next", lead("token", 1).over(w))
+      .filter(col("next").isNotNull)
+      .select(concat_ws(" ", col("token"), col("next")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("bigram"))
+      .limit(20)
+  }
+
+  /** Per-lang corpus profile: docs, avg chars, avg tokens, vocab size. */
+  def llmTextStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val base = d.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      round(avg("n_chars"), 4).as("avg_chars"),
+      round(avg(size(split(col("norm"), " "))), 4).as("avg_tokens"))
+    val vocab = d.select(col("lang"), explode(split(col("norm"), " ")).as("token"))
+      .groupBy("lang").agg(countDistinct("token").as("vocab"))
+    base.join(vocab, "lang").orderBy("lang")
+  }
+
+  /** Toy lexicon sentiment via broadcast join; avg score per source. */
+  def llmSentimentLexicon(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lex = Seq(("fast", 1), ("big", 1), ("slow", -1), ("small", -1)).toDF("token", "score")
+    val tok = docs(spark, sfDir)
+      .select(col("doc_id"), col("source"), explode(split(col("norm"), " ")).as("token"))
+    val perDoc = tok.join(broadcast(lex), Seq("token"), "left")
+      .groupBy("doc_id", "source")
+      .agg(sum(coalesce(col("score"), lit(0))).as("doc_score"))
+    perDoc.groupBy("source")
+      .agg(round(avg("doc_score"), 4).as("avg_score"), count(lit(1)).as("n_docs"))
+      .orderBy("source")
+  }
+
+  /** Histogram of n_chars in 50-char buckets. */
+  def llmLengthHist(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(expr("n_chars DIV 50").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket")
+
+  /** Marker-token language heuristic, scored against the lang column. */
+  def llmLangId(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(col("norm"), " ")
+    val markers = array(lit("key"), lit("row"), lit("scan"), lit("fast"))
+    docs(spark, sfDir)
+      .withColumn("marker_frac",
+        size(filter(toks, t => array_contains(markers, t))).cast("double") / size(toks))
+      .withColumn("pred_en", col("marker_frac") >= 0.1)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred_en"), 1).otherwise(0)).as("n_pred_en"),
+        round(avg(when(col("pred_en") === (col("lang") === "en"), 1.0).otherwise(0.0)), 4).as("acc"))
+      .orderBy("lang")
+  }
+
+  /** Composite quality score: length saturation, type-token ratio, marker
+    * fraction. */
+  def llmQualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(col("norm"), " ")
+    val markers = array(lit("key"), lit("row"), lit("scan"), lit("fast"))
+    docs(spark, sfDir)
+      .withColumn("len_score", least(col("n_chars").cast("double") / 400.0, lit(1.0)))
+      .withColumn("ttr", size(array_distinct(toks)).cast("double") / size(toks))
+      .withColumn("marker_frac",
+        size(filter(toks, t => array_contains(markers, t))).cast("double") / size(toks))
+      .select(col("doc_id"),
+        round(lit(0.4) * col("len_score") + lit(0.4) * col("ttr") + lit(0.2) * col("marker_frac"), 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Whitespace + regex token counts and a bytes-per-token BPE estimate. */
+  def llmTokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("norm"), " ")).as("ws_tokens"),
+        regexp_count(col("norm"), lit("[a-z0-9]+")).as("re_tokens"),
+        ceil(col("n_chars").cast("double") / 4.0).cast("long").as("est_bpe"))
+      .orderBy("doc_id")
+
+  /** Content fingerprint: md5 of normalized text (identical across engines). */
+  def llmFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), md5(col("norm")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** 64-bit SimHash: per-token xxhash64 bit votes (engine-specific hash —
+    * rows-only; SimHashSpec asserts locality properties). */
+  def llmSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val simhashUdf = udf { (hashes: Seq[Long]) =>
+      val votes = new Array[Int](64)
+      hashes.foreach { h =>
+        var j = 0
+        while (j < 64) { if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1; j += 1 }
+      }
+      votes.zipWithIndex.foldLeft(0L) { case (acc, (v, j)) => if (v > 0) acc | (1L << j) else acc }
+    }
+    docs(spark, sfDir)
+      .withColumn("token_hashes", transform(split(col("norm"), " "), t => xxhash64(t)))
+      .select(col("doc_id"), simhashUdf(col("token_hashes")).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_exact" -> llmDedupExact,
+    "llm_dedup_minhash" -> llmDedupMinhash,
+    "llm_jaccard_exact" -> llmJaccardExact,
+    "llm_tfidf" -> llmTfidf,
+    "llm_ngrams" -> llmNgrams,
+    "llm_text_stats" -> llmTextStats,
+    "llm_sentiment_lexicon" -> llmSentimentLexicon,
+    "llm_length_hist" -> llmLengthHist,
+    "llm_lang_id" -> llmLangId,
+    "llm_quality_score" -> llmQualityScore,
+    "llm_token_count" -> llmTokenCount,
+    "llm_fingerprint" -> llmFingerprint,
+    "llm_simhash" -> llmSimhash,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      """SELECT lang, count(*) AS survivors FROM (
+        |  SELECT lang, doc_id,
+        |    min(doc_id) OVER (PARTITION BY lower(trim(text))) AS keeper
+        |  FROM documents) WHERE doc_id = keeper
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // llm_dedup_minhash: hash-permutation specific — spec-checked, no oracle.
+    "llm_jaccard_exact" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, source,
+        |    unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS token
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT ta.doc_id AS a, tb.doc_id AS b, count(*) AS inter
+        |  FROM tok ta JOIN tok tb
+        |    ON ta.lang = tb.lang AND ta.source = tb.source
+        |   AND ta.token = tb.token AND ta.doc_id < tb.doc_id
+        |  GROUP BY ta.doc_id, tb.doc_id)
+        |SELECT a, b,
+        |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+        |FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+        |           JOIN sizes sb ON inter.b = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+        |ORDER BY a, b""".stripMargin,
+    "llm_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) DESC, tf.token ASC) AS rn
+        |  FROM tf JOIN df USING (token) CROSS JOIN n)
+        |SELECT doc_id, token AS top_term, tfidf FROM scored WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+    "llm_ngrams" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token,
+        |    generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos
+        |  FROM documents),
+        |big AS (
+        |  SELECT token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+        |  FROM tok)
+        |SELECT bigram, count(*) AS cnt FROM big WHERE bigram IS NOT NULL
+        |GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 20""".stripMargin,
+    "llm_text_stats" ->
+      """WITH d AS (SELECT lang, n_chars,
+        |    string_split(lower(trim(text)), ' ') AS toks, text FROM documents),
+        |base AS (
+        |  SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+        |    round(avg(len(toks)), 4) AS avg_tokens
+        |  FROM d GROUP BY lang),
+        |vocab AS (
+        |  SELECT lang, count(DISTINCT token) AS vocab FROM (
+        |    SELECT lang, unnest(toks) AS token FROM d) GROUP BY lang)
+        |SELECT base.lang, n_docs, avg_chars, avg_tokens, vocab
+        |FROM base JOIN vocab USING (lang) ORDER BY lang""".stripMargin,
+    "llm_sentiment_lexicon" ->
+      """WITH lex(token, score) AS (VALUES ('fast', 1), ('big', 1), ('slow', -1), ('small', -1)),
+        |tok AS (SELECT doc_id, source,
+        |  unnest(string_split(lower(trim(text)), ' ')) AS token FROM documents),
+        |per_doc AS (
+        |  SELECT tok.doc_id, tok.source, sum(coalesce(lex.score, 0)) AS doc_score
+        |  FROM tok LEFT JOIN lex ON tok.token = lex.token
+        |  GROUP BY tok.doc_id, tok.source)
+        |SELECT source, round(avg(doc_score), 4) AS avg_score, count(*) AS n_docs
+        |FROM per_doc GROUP BY source ORDER BY source""".stripMargin,
+    "llm_length_hist" ->
+      """SELECT n_chars // 50 AS bucket, count(*) AS cnt
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "llm_lang_id" ->
+      """WITH d AS (
+        |  SELECT lang, string_split(lower(trim(text)), ' ') AS toks FROM documents),
+        |scored AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(toks, t -> t IN ('key', 'row', 'scan', 'fast'))) AS DOUBLE)
+        |      / len(toks) >= 0.1 AS pred_en
+        |  FROM d)
+        |SELECT lang, count(*) AS n_docs,
+        |  sum(CASE WHEN pred_en THEN 1 ELSE 0 END) AS n_pred_en,
+        |  round(avg(CASE WHEN pred_en = (lang = 'en') THEN 1.0 ELSE 0.0 END), 4) AS acc
+        |FROM scored GROUP BY lang ORDER BY lang""".stripMargin,
+    "llm_quality_score" ->
+      """SELECT doc_id, round(
+        |    0.4 * least(CAST(n_chars AS DOUBLE) / 400.0, 1.0)
+        |  + 0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+        |  + 0.2 * (CAST(len(list_filter(toks, t -> t IN ('key', 'row', 'scan', 'fast'))) AS DOUBLE) / len(toks)),
+        |  6) AS quality
+        |FROM (SELECT doc_id, n_chars,
+        |    string_split(lower(trim(text)), ' ') AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "llm_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(lower(trim(text)), ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(lower(trim(text)), '[a-z0-9]+')) AS re_tokens,
+        |  CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // llm_simhash: engine-specific 64-bit hash — spec-checked, no oracle.
+  )
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the rows-only (non-oracle-checkable) LLM-pipeline operators:
+  * MinHash candidate quality, SimHash locality, IVF-ANN recall, multimodal
+  * decode stub. A crafted fixture corpus (written once to /tmp) provides
+  * known near-duplicates, since the synthetic corpus has none. */
+class LlmSpec extends SparkSpec {
+
+  private lazy val fixtureDir: String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_llm_fixture"
+    import spark.implicits._
+    val words = Seq("key", "agg", "row", "scan", "slow", "fast", "table", "value",
+      "part", "hash", "join", "sort", "group", "filter", "map", "index")
+    val base = (0 until 48).map(i => words(i % 16) + (i / 16)).mkString(" ")
+    val nearDup = base.replace("hash2", "hashx") // 1 of 48 tokens differs → shingle J ≈ 0.87
+    val distinct = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron"
+    Seq(
+      (1L, base, "en", "src0", base.length.toLong),
+      (2L, nearDup, "en", "src0", nearDup.length.toLong),
+      (3L, distinct, "en", "src0", distinct.length.toLong),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("minhash finds the near-duplicate pair and not the distinct one") {
+    val pairs = LlmText.llmDedupMinhash(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "93%-overlap shingle pair must be a candidate")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      "disjoint docs must not be candidates")
+  }
+
+  test("simhash is local: near-dups differ in few bits, distinct docs in many") {
+    val sh = LlmText.llmSimhash(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(sh(1L), sh(2L)) <= 12,
+      s"near-dup hamming ${hamming(sh(1L), sh(2L))} should be small")
+    assert(hamming(sh(1L), sh(3L)) > hamming(sh(1L), sh(2L)),
+      "distinct doc must be farther than the near-dup")
+  }
+
+  test("IVF ANN achieves reasonable recall vs brute-force top-5") {
+    val brute = LlmVector.llmCosineTopk(spark, sf001).select("a", "nn").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = LlmVector.llmAnnIvf(spark, sf001).select("a", "nn").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall@5 was $recall")
+    // sanity: ANN returns ≤ 5 neighbors per query for every query it covers
+    assert(ann.groupBy(_._1).forall(_._2.size <= 5))
+  }
+
+  test("multimodal decode stub produces deterministic per-payload features") {
+    val feats = MultimodalOps.decodeStub(MultimodalOps.fromDocuments(spark, sf001))
+      .collect().map(f => f.doc_id -> f).toMap
+    val chars = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(feats.nonEmpty)
+    feats.foreach { case (id, f) =>
+      assert(f.n_bytes.toLong == chars(id), "ascii corpus: bytes == chars")
+      assert(f.n_frames == (f.n_bytes + 31) / 32)
+      assert(f.checksum > 0)
+    }
+  }
+}
