@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.operators._
-import graft.functions.ScalarFuncs
+import graft.functions.{ScalarFuncs, Udfs}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,12 +19,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Scans.defs ++ Filters.defs ++ Joins.defs ++ Aggregations.defs ++
       Windows.defs ++ Sorts.defs ++ SetOps.defs ++ ScalarFuncs.defs ++
-      EventTime.defs ++ LlmText.defs ++ LlmVector.defs
+      EventTime.defs ++ LlmText.defs ++ LlmVector.defs ++ Udfs.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Scans.oracles ++ Filters.oracles ++ Joins.oracles ++ Aggregations.oracles ++
       Windows.oracles ++ Sorts.oracles ++ SetOps.oracles ++ ScalarFuncs.oracles ++
-      EventTime.oracles ++ LlmText.oracles ++ LlmVector.oracles
+      EventTime.oracles ++ LlmText.oracles ++ LlmVector.oracles ++ Udfs.oracles
 }
