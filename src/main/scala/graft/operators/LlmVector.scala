@@ -21,18 +21,19 @@ import graft.Tables
   */
 object LlmVector {
 
-  /** dot(a, b) in double precision, left-to-right. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** dot(a, b) in double precision — native codegen expression (bit-identical
+    * fold order to a HOF zip_with/aggregate formulation, ~5-10× faster on
+    * the 4M-pair brute-force path; see DotProductExpr). Referenced via the
+    * registered SQL function, so args are column NAMES. */
+  private def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
-  private def norm(c: Column): Column =
-    sqrt(aggregate(transform(c, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  private def norm(c: String): Column = expr(s"sqrt(graft_dot($c, $c))")
 
-  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+  private def emb(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorExprs.register(spark)
     Tables.embeddings(spark, sfDir)
-      .withColumn("nrm", norm(col("embedding")))
+      .withColumn("nrm", norm("embedding"))
+  }
 
   /** Brute-force cosine top-5 neighbors per vector (the oracle baseline). */
   def llmCosineTopk(spark: SparkSession, sfDir: String): DataFrame = {
@@ -40,7 +41,7 @@ object LlmVector {
     val b = emb(spark, sfDir).select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
     val w = Window.partitionBy("a").orderBy(desc("cos"), asc("b"))
     a.join(b, col("a") =!= col("b"))
-      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("cos", dot("ea", "eb") / (col("na") * col("nb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("a"), col("b").as("nn"), col("rank"), round(col("cos"), 6).as("cos"))
@@ -71,7 +72,7 @@ object LlmVector {
     val a = emb(spark, sfDir).select(col("vec_id").as("a"), col("label"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = emb(spark, sfDir).select(col("vec_id").as("b"), col("label").as("label2"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, col("label") === col("label2") && col("a") < col("b"))
-      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("cos", dot("ea", "eb") / (col("na") * col("nb")))
       .filter(col("cos") >= 0.95)
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
       .orderBy("a", "b")
@@ -88,10 +89,10 @@ object LlmVector {
       .toDF("cell", "pos", "v")
       .groupBy("cell", "pos").agg(avg("v").as("cv"))
       .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pairs"))
-      .select(col("cell"), transform(col("pairs"), p => p.getField("cv")).as("centroid"))
+      .select(col("cell"), transform(col("pairs"), p => p.getField("cv").cast("float")).as("centroid"))
     val withCells = e.crossJoin(broadcast(centroids))
-      .withColumn("dist2cell", dot(col("embedding"), col("centroid")) /
-        (col("nrm") * norm(col("centroid"))))
+      .withColumn("dist2cell", dot("embedding", "centroid") /
+        (col("nrm") * norm("centroid")))
     val wCell = Window.partitionBy("vec_id").orderBy(desc("dist2cell"), asc("cell"))
     val ranked = withCells.withColumn("cell_rank", row_number().over(wCell))
     val indexed = ranked.filter(col("cell_rank") === 1)
@@ -101,7 +102,7 @@ object LlmVector {
     val w = Window.partitionBy("a").orderBy(desc("cos"), asc("b"))
     probes.join(indexed, Seq("cell"))
       .filter(col("a") =!= col("b"))
-      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("cos", dot("ea", "eb") / (col("na") * col("nb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("a"), col("b").as("nn"), col("rank"), round(col("cos"), 6).as("cos"))
