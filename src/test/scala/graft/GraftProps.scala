@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAllNoShrink
+
+/** Property tests (SURVEY.md §5.5) — algebraic invariants on generated data.
+  * Each sample runs a real Spark job, so sample counts stay small. */
+object GraftProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-props")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val genInts = Gen.nonEmptyListOf(Gen.chooseNum(-50, 50))
+
+  property("unionAll count = sum of counts") = forAllNoShrink(genInts, genInts) { (a, b) =>
+    import spark.implicits._
+    a.toDS.union(b.toDS).count() == a.size + b.size
+  }
+
+  property("except ∪ intersect partitions the distinct left side") =
+    forAllNoShrink(genInts, genInts) { (a, b) =>
+      import spark.implicits._
+      val l = a.toDS
+      val r = b.toDS
+      val ex = l.except(r).collect().toSet
+      val in = l.intersect(r).collect().toSet
+      (ex ++ in) == a.toSet && (ex & in).isEmpty
+    }
+
+  property("dropDuplicates is idempotent") = forAllNoShrink(genInts) { a =>
+    import spark.implicits._
+    val once = a.toDS.dropDuplicates()
+    once.dropDuplicates().count() == once.count() && once.count() == a.toSet.size
+  }
+
+  property("running-sum final row equals the group total") =
+    forAllNoShrink(Gen.nonEmptyListOf(Gen.chooseNum(-100L, 100L))) { xs =>
+      import spark.implicits._
+      val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("i", "v")
+      val w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val last = df.withColumn("run", sum("v").over(w))
+        .orderBy(desc("i")).limit(1).collect()(0).getLong(2)
+      last == xs.sum
+    }
+
+  private val genVec = Gen.listOfN(8, Gen.chooseNum(-10.0f, 10.0f))
+    .suchThat(v => v.exists(_ != 0.0f))
+
+  property("cosine ∈ [-1,1] and self-similarity = 1") =
+    forAllNoShrink(genVec, genVec) { (u, v) =>
+      import spark.implicits._
+      graft.functions.VectorExprs.register(spark)
+      val df = Seq((u, v)).toDF("u", "v")
+      val r = df.select(
+        expr("graft_dot(u, v) / (sqrt(graft_dot(u, u)) * sqrt(graft_dot(v, v)))").as("cos"),
+        expr("graft_dot(u, u) / (sqrt(graft_dot(u, u)) * sqrt(graft_dot(u, u)))").as("self")
+      ).collect()(0)
+      val cos = r.getDouble(0)
+      val self = r.getDouble(1)
+      cos >= -1.0000001 && cos <= 1.0000001 && math.abs(self - 1.0) < 1e-9
+    }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions (SURVEY.md §4): these lock in the *scale*
+  * properties — pushdown, pruning, broadcast, top-k fusion, partial
+  * aggregation — so a refactor that silently deoptimizes a plan fails CI,
+  * not the 100 TB run. */
+class PlanSpec extends SparkSpec {
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("scan_pruned reads only the projected columns from parquet") {
+    val plan = formatted(Scans.scanPruned(spark, sf001))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"), s"column pruning failed: $readSchema")
+  }
+
+  test("filter predicates reach the parquet scan as PushedFilters") {
+    val plan = formatted(Filters.filterRangeInLike(spark, sf001))
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") || pushed.contains("In(l_returnflag"),
+      s"no predicates pushed: $pushed")
+  }
+
+  test("star join broadcasts all three dimension tables") {
+    val plan = formatted(Joins.joinBroadcast(spark, sf001))
+    // formatted explain mentions each node in both the tree and detail section
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 3, s"expected 3 broadcast joins, saw $broadcasts:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "no dimension join should shuffle")
+  }
+
+  test("merge hint forces a sort-merge join") {
+    val plan = formatted(Joins.joinSortMerge(spark, sf001))
+    assert(plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("global top-k fuses to TakeOrderedAndProject (no full sort)") {
+    val plan = formatted(Sorts.topkGlobal(spark, sf001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("flagship aggregation is partial (map-side) then final") {
+    val plan = formatted(Aggregations.aggPricingSummary(spark, sf001))
+    val hashAggs = "HashAggregate".r.findAllIn(plan).size
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate, saw $hashAggs")
+    assert(plan.contains("partial_sum"), "map-side partial aggregation missing")
+    assert(plan.contains("hashpartitioning"), "final agg must follow a hash shuffle")
+  }
+
+  test("theta-range join stays a hash/merge join on the equi key, not nested-loop") {
+    val plan = formatted(Joins.joinThetaRange(spark, sf001))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degenerated to a cross product:\n$plan")
+  }
+
+  test("lexicon sentiment broadcasts the lexicon side") {
+    val plan = formatted(LlmText.llmSentimentLexicon(spark, sf001))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+}
