@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Scans.defs ++ Filters.defs ++ Joins.defs ++ Aggregations.defs ++
       Windows.defs ++ Sorts.defs ++ SetOps.defs ++ ScalarFuncs.defs ++
-      EventTime.defs ++ LlmText.defs ++ LlmVector.defs ++ Udfs.defs
+      EventTime.defs ++ LlmText.defs ++ LlmVector.defs ++ Udfs.defs ++
+      Composite.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Scans.oracles ++ Filters.oracles ++ Joins.oracles ++ Aggregations.oracles ++
       Windows.oracles ++ Sorts.oracles ++ SetOps.oracles ++ ScalarFuncs.oracles ++
-      EventTime.oracles ++ LlmText.oracles ++ LlmVector.oracles ++ Udfs.oracles
+      EventTime.oracles ++ LlmText.oracles ++ LlmVector.oracles ++ Udfs.oracles ++
+      Composite.oracles
 }

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Composite finance-analytics queries — multi-operator compositions in the
+  * TPC-H idiom (filter → join → aggregate → rank), exercising how the
+  * relational core composes rather than new primitives.
+  *
+  * Scale notes: each is selective-filter-first (pushdown shrinks the fact
+  * scan), dimension-broadcast, single-shuffle aggregation — the canonical
+  * shape that survives a 1000-executor scale-up.
+  */
+object Composite {
+
+  /** Q3-style shipping priority: top 10 unshipped-revenue orders for one
+    * market segment. */
+  def q3ShippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = to_timestamp_ntz(lit("1996-06-30"))
+    val c = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, sfDir).filter(col("o_orderdate") < cutoff)
+    val l = Tables.lineitem(spark, sfDir).filter(col("l_shipdate") > cutoff)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q5-style local-supplier volume: revenue per nation where customer and
+    * supplier share the nation, one year. */
+  def q5LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter(year(col("o_orderdate")) === 1996)
+    val c = Tables.customer(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  /** Top revenue customer per nation (join + agg + window composition). */
+  def topCustomerPerNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val perCust = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name", "c_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"))
+    val w = Window.partitionBy("n_name").orderBy(desc("revenue"), asc("c_custkey"))
+    perCust.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("n_name", "c_custkey", "revenue")
+      .orderBy("n_name")
+  }
+
+  /** Year-over-year revenue growth per market segment (agg + self-window). */
+  def yoySegmentGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val yearly = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), year(col("o_orderdate")).as("y"))
+      .agg(sum("o_totalprice").as("rev"))
+    val w = Window.partitionBy("segment").orderBy("y")
+    yearly.select(col("segment"), col("y"),
+        round(col("rev"), 2).as("revenue"),
+        round((col("rev") - lag("rev", 1).over(w)) / lag("rev", 1).over(w), 6).as("yoy"))
+      .orderBy("segment", "y")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q3_shipping_priority" -> q3ShippingPriority,
+    "q5_local_supplier" -> q5LocalSupplier,
+    "top_customer_per_nation" -> topCustomerPerNation,
+    "yoy_segment_growth" -> yoySegmentGrowth,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-06-30'
+        |  AND l_shipdate > TIMESTAMP '1996-06-30'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE year(o_orderdate) = 1996
+        |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "top_customer_per_nation" ->
+      """SELECT n_name, c_custkey, revenue FROM (
+        |  SELECT n_name, c_custkey, round(sum(o_totalprice), 2) AS revenue,
+        |    row_number() OVER (PARTITION BY n_name
+        |      ORDER BY round(sum(o_totalprice), 2) DESC, c_custkey ASC) AS rn
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, c_custkey)
+        |WHERE rn = 1 ORDER BY n_name""".stripMargin,
+    "yoy_segment_growth" ->
+      """SELECT segment, y, round(rev, 2) AS revenue,
+        |  round((rev - lag(rev, 1) OVER w) / lag(rev, 1) OVER w, 6) AS yoy
+        |FROM (
+        |  SELECT c_mktsegment AS segment, year(o_orderdate) AS y,
+        |    sum(o_totalprice) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |WINDOW w AS (PARTITION BY segment ORDER BY y)
+        |ORDER BY segment, y""".stripMargin,
+  )
+}

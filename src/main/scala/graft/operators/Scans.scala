@@ -61,11 +61,41 @@ object Scans {
     fromCsv.join(fromJson, "l_returnflag").orderBy("l_returnflag")
   }
 
+  /** ORC sink/source roundtrip (rows-only, like the csv/json one). */
+  def sourceOrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_orc"
+    val sample = Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") < 1000)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    sample.write.mode("overwrite").orc(tmp)
+    spark.read.orc(tmp)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("orc_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Partitioned-parquet write + partition-pruned read: orders written
+    * partitioned by order year, then only one partition is scanned (PlanSpec
+    * asserts PartitionFilters). Oracle-checkable because the counts must
+    * equal the unpartitioned table's — the layout changes, the data doesn't. */
+  def sourcePartitionedPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders"
+    Tables.orders(spark, sfDir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
+    spark.read.parquet(tmp)
+      .filter(col("o_year") === 1996)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_lineitem" -> scanLineitem,
     "scan_pruned" -> scanPruned,
     "scan_events_nanos" -> scanEventsNanos,
     "source_csv_roundtrip" -> sourceCsvRoundtrip,
+    "source_orc_roundtrip" -> sourceOrcRoundtrip,
+    "source_partitioned_prune" -> sourcePartitionedPrune,
   )
 
   val oracles: Map[String, String] = Map(
@@ -79,6 +109,12 @@ object Scans {
     "scan_events_nanos" ->
       """SELECT event_id, epoch_us(ts) AS epoch_us, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
-    // source_csv_roundtrip: side-effecting sink coverage — rows-only check.
+    // source_csv_roundtrip / source_orc_roundtrip: side-effecting sink
+    // coverage — rows-only checks (full equality asserted in BatchOpsSpec).
+    "source_partitioned_prune" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders WHERE year(o_orderdate) = 1996
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }

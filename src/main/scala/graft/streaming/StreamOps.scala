@@ -43,6 +43,19 @@ object StreamOps {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("id")
 
+  /** Stream-stream interval join: each purchase joined to error events of
+    * the same user within the preceding hour. Both sides carry watermarks
+    * and the join has an event-time bound, so Spark can evict state — the
+    * requirements for an unbounded-safe stream-stream join. */
+  def purchaseErrorJoin(purchases: DataFrame, errors: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("id").as("p_id"), col("user").as("p_user"), col("ts").as("p_ts"))
+    val e = errors.withWatermark("ts", "10 minutes")
+      .select(col("user").as("e_user"), col("ts").as("e_ts"))
+    p.join(e, expr(
+      "p_user = e_user AND e_ts >= p_ts - INTERVAL 1 HOUR AND e_ts <= p_ts"))
+  }
+
   /** Arbitrary stateful processing: running per-user event count
     * (mapGroupsWithState; update output mode). */
   def runningUserCounts(events: Dataset[Evt]): Dataset[(Long, Long)] = {

@@ -20,6 +20,15 @@ class BatchOpsSpec extends SparkSpec {
     assert(viaCsv == direct, "roundtrip counts must equal direct parquet counts")
   }
 
+  test("orc roundtrip preserves per-flag counts") {
+    val orc = Scans.sourceOrcRoundtrip(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Tables.lineitem(spark, sf001).filter(col("l_orderkey") < 1000)
+      .groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(orc == direct)
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val approx = Aggregations.aggApproxDistinct(spark, sf01).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -3,6 +3,7 @@ package graft.operators
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
 
 /** Physical-plan assertions (SURVEY.md §4): these lock in the *scale*
   * properties — pushdown, pruning, broadcast, top-k fusion, partial
@@ -57,6 +58,16 @@ class PlanSpec extends SparkSpec {
     val plan = formatted(Joins.joinThetaRange(spark, sf001))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"range join degenerated to a cross product:\n$plan")
+  }
+
+  test("partitioned read prunes to the filtered partition") {
+    // materialize the partitioned layout first (the query writes then reads)
+    Scans.sourcePartitionedPrune(spark, sf001).collect()
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders"
+    val plan = formatted(spark.read.parquet(tmp).filter(col("o_year") === 1996)
+      .groupBy("o_orderstatus").count())
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("o_year"), s"partition filter not applied: $pf")
   }
 
   test("lexicon sentiment broadcasts the lexicon side") {

@@ -73,6 +73,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches errors within the preceding hour") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val purchases = MemoryStream[Evt]
+    val errors = MemoryStream[Evt]
+    val q = StreamOps.purchaseErrorJoin(purchases.toDF, errors.toDF)
+      .writeStream.format("memory").queryName("t_ssjoin").outputMode("append").start()
+    try {
+      errors.addData(evt("09:30", user = 1L, id = 100L), evt("11:30", user = 1L, id = 101L))
+      purchases.addData(evt("10:00", user = 1L, id = 1L)) // joins 09:30 error only
+      q.processAllAvailable()
+      val matched = spark.sql("SELECT p_id, e_ts FROM t_ssjoin").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+      assert(matched == Set((1L, ts("09:30"))),
+        "only the error within [p_ts-1h, p_ts] may join")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps a running per-user count across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
