@@ -112,17 +112,22 @@ object Joins {
   }
 
   /** As-of join: for each purchase event, the most recent order of the mapped
-    * customer (user_id = o_custkey, o_orderdate <= event time). */
+    * customer (user_id = o_custkey, o_orderdate <= event time).
+    *
+    * Implemented as equi-join + max_by on a (date, key) struct rather than a
+    * row_number window: max_by is a declarative aggregate, so it partial-
+    * aggregates map-side and never materializes/sorts the per-event candidate
+    * lists — the scalable as-of formulation when keys have many matches. */
   def joinAsof(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, sfDir).filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "ts_ntz", "epoch_us")
     val o = Tables.orders(spark, sfDir)
-    val w = Window.partitionBy("event_id").orderBy(desc("o_orderdate"), desc("o_orderkey"))
     ev.join(o, ev("user_id") === o("o_custkey") && o("o_orderdate") <= ev("ts_ntz"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("event_id", "epoch_us", "o_orderkey", "o_orderdate")
+      .groupBy("event_id", "epoch_us")
+      .agg(max_by(struct(col("o_orderkey"), col("o_orderdate")),
+        struct(col("o_orderdate"), col("o_orderkey"))).as("w"))
+      .select(col("event_id"), col("epoch_us"),
+        col("w.o_orderkey").as("o_orderkey"), col("w.o_orderdate").as("o_orderdate"))
       .orderBy("event_id")
   }
 
