@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** A minimal event record for streaming pipelines. `ts` is the event-time
   * column every watermark hangs off. */
@@ -54,6 +54,27 @@ object StreamOps {
       .select(col("user").as("e_user"), col("ts").as("e_ts"))
     p.join(e, expr(
       "p_user = e_user AND e_ts >= p_ts - INTERVAL 1 HOUR AND e_ts <= p_ts"))
+  }
+
+  /** Spark 4 arbitrary state v2: the same running per-user count as
+    * `runningUserCounts`, via transformWithState + ValueState (requires the
+    * RocksDB state store provider; the spec sets it). */
+  class RunningCountProcessor extends StatefulProcessor[Long, Evt, (Long, Long)] {
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Evt],
+        timerValues: TimerValues): Iterator[(Long, Long)] = {
+      val total = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(total)
+      Iterator.single((key, total))
+    }
+  }
+
+  def runningUserCountsV2(events: Dataset[Evt]): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user)
+      .transformWithState(new RunningCountProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** Arbitrary stateful processing: running per-user event count

@@ -91,6 +91,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState (arbitrary state v2) keeps running counts with ValueState") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Evt]
+    val q = StreamOps.runningUserCountsV2(in.toDS)
+      .toDF("user", "total")
+      .writeStream.format("memory").queryName("t_tws").outputMode("update").start()
+    try {
+      in.addData(evt("10:00"), evt("10:01"), evt("10:02", user = 2L))
+      q.processAllAvailable()
+      in.addData(evt("10:10"))
+      q.processAllAvailable()
+      val latest = spark.sql("SELECT user, max(total) FROM t_tws GROUP BY user").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(latest == Map(1L -> 3L, 2L -> 1L))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("mapGroupsWithState keeps a running per-user count across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
