@@ -94,15 +94,18 @@ object ScalarFuncs {
       .groupBy("token").agg(count(lit(1)).as("tf"))
       .orderBy("token")
 
-  /** Map construction + access; output flattened to SQL-comparable rows. */
+  /** Map construction + access (map_from_arrays AND str_to_map); output
+    * flattened to SQL-comparable rows. */
   def mapFuncs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .withColumn("k_val", get_json_object(col("props"), "$.k").cast("int"))
       .withColumn("m", map_from_arrays(array(lit("k")), array(col("k_val"))))
+      .withColumn("m2", expr("str_to_map(concat('k=', CAST(k_val AS STRING)), ',', '=')"))
       .select(col("event_id"),
         size(map_keys(col("m"))).as("n_keys"),
         element_at(col("m"), "k").as("k_val"),
-        map_contains_key(col("m"), "k").as("has_k"))
+        map_contains_key(col("m"), "k").as("has_k"),
+        element_at(col("m2"), "k").cast("int").as("k_via_strmap"))
       .orderBy("event_id")
 
   def jsonFuncs(spark: SparkSession, sfDir: String): DataFrame = {
@@ -186,7 +189,8 @@ object ScalarFuncs {
     "map_funcs" ->
       """SELECT event_id, 1 AS n_keys,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
-        |  true AS has_k
+        |  true AS has_k,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_via_strmap
         |FROM events ORDER BY event_id""".stripMargin,
     "json_funcs" ->
       """SELECT event_type,

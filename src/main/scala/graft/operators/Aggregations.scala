@@ -163,8 +163,18 @@ object Aggregations {
       .orderBy("n_name")
   }
 
+  /** Sketch-based percentiles (approx_percentile ≈ t-digest style) — no
+    * oracle (sketch-specific); BatchOpsSpec asserts proximity to exact. */
+  def aggApproxPercentile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap50"),
+        expr("approx_percentile(o_totalprice, 0.9, 1000)").as("ap90"))
+      .orderBy("o_orderpriority")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_pricing_summary" -> aggPricingSummary,
+    "agg_approx_percentile" -> aggApproxPercentile,
     "agg_multi_stats" -> aggMultiStats,
     "agg_distinct_exact" -> aggDistinctExact,
     "agg_approx_distinct" -> aggApproxDistinct,

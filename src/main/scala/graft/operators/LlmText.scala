@@ -216,7 +216,30 @@ object LlmText {
       .orderBy("doc_id")
   }
 
+  /** SimHash near-dup candidate pairs: band each 64-bit simhash into 4
+    * 16-bit chunks (LSH — near-dups share ≥1 exact chunk), bucket-join on
+    * (band, chunk), then confirm with the native Hamming expression ≤ 8 bits.
+    * Rows-only (hash-specific); SimHashSpec path in LlmSpec asserts the
+    * fixture near-dup pair is found. Scale shape: candidates only meet inside
+    * a 16-bit bucket — never a full cross join. */
+  def llmSimhashNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.HammingExprs.register(spark)
+    val sh = llmSimhash(spark, sfDir)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .toDF("doc_id", "simhash", "band", "chunk")
+    val a = banded.select(col("band"), col("chunk"), col("doc_id").as("a"), col("simhash").as("sa"))
+    val b = banded.select(col("band").as("band2"), col("chunk").as("chunk2"), col("doc_id").as("b"), col("simhash").as("sb"))
+    a.join(b, col("band") === col("band2") && col("chunk") === col("chunk2") && col("a") < col("b"))
+      .select(col("a"), col("b"), expr("graft_hamming(sa, sb)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .orderBy("a", "b")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_simhash_neardup" -> llmSimhashNeardup,
     "llm_dedup_exact" -> llmDedupExact,
     "llm_dedup_minhash" -> llmDedupMinhash,
     "llm_jaccard_exact" -> llmJaccardExact,

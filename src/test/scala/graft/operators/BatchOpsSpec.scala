@@ -41,6 +41,18 @@ class BatchOpsSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile within 2% of exact percentiles") {
+    val approx = Aggregations.aggApproxPercentile(spark, sf01).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Aggregations.aggPercentileExact(spark, sf01).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (p50, p90)) =>
+      val (a50, a90) = approx(k)
+      assert(math.abs(a50 - p50) / p50 <= 0.02, s"$k p50: $a50 vs $p50")
+      assert(math.abs(a90 - p90) / p90 <= 0.02, s"$k p90: $a90 vs $p90")
+    }
+  }
+
   test("flagship entry returns rows on sf0.001") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }

@@ -44,6 +44,13 @@ class LlmSpec extends SparkSpec {
       "distinct doc must be farther than the near-dup")
   }
 
+  test("simhash banded LSH finds the near-dup pair without a cross join") {
+    val pairs = LlmText.llmSimhashNeardup(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "near-dup must share a 16-bit band and pass hamming<=8")
+    assert(!pairs.contains((1L, 3L)), "distinct doc must not be a candidate")
+  }
+
   test("IVF ANN achieves reasonable recall vs brute-force top-5") {
     val brute = LlmVector.llmCosineTopk(spark, sf001).select("a", "nn").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
