@@ -79,7 +79,35 @@ object Composite {
       .orderBy("segment", "y")
   }
 
+  /** Correlated scalar subquery — exercises Catalyst's decorrelation
+    * (RewriteCorrelatedScalarSubquery): customers above their nation's
+    * average balance. */
+  def sqlCorrelatedSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("corr_customer")
+    spark.sql(
+      """SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+        |FROM corr_customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM corr_customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Generator family beyond explode: posexplode_outer over a possibly-empty
+    * array and inline over an array of structs. */
+  def generatorFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.part(spark, sfDir)
+      .select(col("p_partkey"),
+        // empty array for every 10th part — posexplode_outer keeps the row
+        when(col("p_partkey") % 10 === 0, array().cast("array<string>"))
+          .otherwise(split(col("p_type"), " ")).as("words"))
+    base.select(col("p_partkey"), posexplode_outer(col("words")))
+      .toDF("p_partkey", "pos", "word")
+      .orderBy(asc("p_partkey"), asc_nulls_first("pos"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_correlated_subquery" -> sqlCorrelatedSubquery,
+    "generator_funcs" -> generatorFuncs,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_local_supplier" -> q5LocalSupplier,
     "top_customer_per_nation" -> topCustomerPerNation,
@@ -87,6 +115,21 @@ object Composite {
   )
 
   val oracles: Map[String, String] = Map(
+    "sql_correlated_subquery" ->
+      """SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "generator_funcs" ->
+      """SELECT p.p_partkey, CAST(u.pos - 1 AS INT) AS pos, u.word
+        |FROM (SELECT p_partkey,
+        |        CASE WHEN p_partkey % 10 = 0 THEN []
+        |             ELSE string_split(p_type, ' ') END AS words
+        |      FROM part) p
+        |LEFT JOIN LATERAL (SELECT unnest(p.words) AS word,
+        |                     generate_subscripts(p.words, 1) AS pos) u ON true
+        |ORDER BY p.p_partkey ASC, pos ASC NULLS FIRST""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
