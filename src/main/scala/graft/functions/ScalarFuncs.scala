@@ -32,7 +32,7 @@ object ScalarFuncs {
         lower(col("c_name")).as("name_lower"),
         trim(concat_ws(" ", lit(" x"), col("c_mktsegment"))).as("seg_trim"),
         substring(col("c_name"), 1, 8).as("name_pfx"),
-        length(col("c_name")).as("name_len"),
+        length(col("c_name")).cast("long").as("name_len"),
         lpad(col("c_custkey").cast("string"), 10, "0").as("key_pad"),
         translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_trans"),
         regexp_replace(col("c_name"), lit("Customer"), lit("Cust")).as("name_short"))
@@ -49,14 +49,14 @@ object ScalarFuncs {
   def dateFuncs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
       .select(col("o_orderkey"),
-        year(col("o_orderdate")).as("y"),
-        quarter(col("o_orderdate")).as("q"),
-        month(col("o_orderdate")).as("m"),
-        dayofmonth(col("o_orderdate")).as("dom"),
-        (expr("weekday(o_orderdate)") + 1).as("iso_dow"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        (expr("weekday(o_orderdate)") + 1).cast("long").as("iso_dow"),
         date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month_start"),
         (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("grace_date"),
-        ((lit(2002) - year(col("o_orderdate"))) * 12 + (lit(1) - month(col("o_orderdate")))).as("months_to_2002"))
+        ((lit(2002) - year(col("o_orderdate"))) * 12 + (lit(1) - month(col("o_orderdate")))).cast("long").as("months_to_2002"))
       .orderBy("o_orderkey")
 
   def mathFuncs(spark: SparkSession, sfDir: String): DataFrame =
@@ -79,12 +79,12 @@ object ScalarFuncs {
     Tables.documents(spark, sfDir)
       .withColumn("tokens", split(col("text"), " "))
       .select(col("doc_id"),
-        size(col("tokens")).as("n_tokens"),
-        size(array_distinct(col("tokens"))).as("n_distinct"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        size(array_distinct(col("tokens"))).cast("long").as("n_distinct"),
         array_contains(col("tokens"), "hash").as("has_hash"),
         slice(array_sort(array_distinct(col("tokens"))), 1, 5).as("first5"),
-        aggregate(col("tokens"), lit(0), (acc, x) => acc + length(x)).as("sum_len"),
-        size(filter(col("tokens"), x => length(x) > 4)).as("n_long"))
+        aggregate(col("tokens"), lit(0L), (acc, x) => acc + length(x)).as("sum_len"),
+        size(filter(col("tokens"), x => length(x) > 4)).cast("long").as("n_long"))
       .orderBy("doc_id")
 
   /** Generator: explode tokens → corpus-wide term frequency. */
@@ -178,7 +178,7 @@ object ScalarFuncs {
         |  len(list_distinct(tokens)) AS n_distinct,
         |  list_contains(tokens, 'hash') AS has_hash,
         |  list_sort(list_distinct(tokens))[:5] AS first5,
-        |  list_aggregate(list_transform(tokens, x -> length(x)), 'sum') AS sum_len,
+        |  CAST(list_aggregate(list_transform(tokens, x -> length(x)), 'sum') AS BIGINT) AS sum_len,
         |  len(list_filter(tokens, x -> length(x) > 4)) AS n_long
         |FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
         |ORDER BY doc_id""".stripMargin,
@@ -195,7 +195,7 @@ object ScalarFuncs {
     "json_funcs" ->
       """SELECT event_type,
         |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

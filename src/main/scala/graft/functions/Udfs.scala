@@ -130,7 +130,7 @@ object Udfs {
         |  SELECT doc_id, pos,
         |    token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w AS shingle
         |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
-        |SELECT doc_id, pos, shingle FROM sh WHERE shingle IS NOT NULL
+        |SELECT doc_id, CAST(pos AS INT) AS pos, shingle FROM sh WHERE shingle IS NOT NULL
         |ORDER BY doc_id, pos""".stripMargin,
   )
 }

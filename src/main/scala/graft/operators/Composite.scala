@@ -70,7 +70,7 @@ object Composite {
     val o = Tables.orders(spark, sfDir)
     val c = Tables.customer(spark, sfDir)
     val yearly = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .groupBy(col("c_mktsegment").as("segment"), year(col("o_orderdate")).as("y"))
+      .groupBy(col("c_mktsegment").as("segment"), year(col("o_orderdate")).cast("long").as("y"))
       .agg(sum("o_totalprice").as("rev"))
     val w = Window.partitionBy("segment").orderBy("y")
     yearly.select(col("segment"), col("y"),

@@ -188,8 +188,8 @@ object LlmText {
   def llmTokenCount(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
       .select(col("doc_id"),
-        size(split(col("norm"), " ")).as("ws_tokens"),
-        regexp_count(col("norm"), lit("[a-z0-9]+")).as("re_tokens"),
+        size(split(col("norm"), " ")).cast("long").as("ws_tokens"),
+        regexp_count(col("norm"), lit("[a-z0-9]+")).cast("long").as("re_tokens"),
         ceil(col("n_chars").cast("double") / 4.0).cast("long").as("est_bpe"))
       .orderBy("doc_id")
 
@@ -340,7 +340,7 @@ object LlmText {
         |      / len(toks) >= 0.1 AS pred_en
         |  FROM d)
         |SELECT lang, count(*) AS n_docs,
-        |  sum(CASE WHEN pred_en THEN 1 ELSE 0 END) AS n_pred_en,
+        |  CAST(sum(CASE WHEN pred_en THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en,
         |  round(avg(CASE WHEN pred_en = (lang = 'en') THEN 1.0 ELSE 0.0 END), 4) AS acc
         |FROM scored GROUP BY lang ORDER BY lang""".stripMargin,
     "llm_quality_score" ->

@@ -44,7 +44,7 @@ object LlmVector {
       .withColumn("cos", dot("ea", "eb") / (col("na") * col("nb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
-      .select(col("a"), col("b").as("nn"), col("rank"), round(col("cos"), 6).as("cos"))
+      .select(col("a"), col("b").as("nn"), col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
       .orderBy("a", "rank")
   }
 
@@ -105,7 +105,7 @@ object LlmVector {
       .withColumn("cos", dot("ea", "eb") / (col("na") * col("nb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
-      .select(col("a"), col("b").as("nn"), col("rank"), round(col("cos"), 6).as("cos"))
+      .select(col("a"), col("b").as("nn"), col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
       .orderBy("a", "rank")
   }
 
@@ -119,7 +119,7 @@ object LlmVector {
       .withColumn("payload", encode(col("text"), "UTF-8"))
       .withColumn("meta", struct(col("lang"), col("n_chars")))
       .select(col("doc_id"),
-        octet_length(col("payload")).as("n_bytes"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
         md5(col("payload")).as("payload_md5"),
         col("meta.lang").as("meta_lang"))
       .orderBy("doc_id")

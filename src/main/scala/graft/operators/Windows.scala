@@ -26,16 +26,16 @@ object Windows {
     val w = Window.partitionBy("c_mktsegment").orderBy(desc("c_acctbal"), asc("c_custkey"))
     Tables.customer(spark, sfDir)
       .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
-        rank().over(w).as("rnk"),
-        dense_rank().over(w).as("drnk"),
-        row_number().over(w).as("rn"))
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        row_number().over(w).cast("long").as("rn"))
       .orderBy("c_mktsegment", "rn")
   }
 
   def winTopkPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
     Tables.orders(spark, sfDir)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
       .orderBy("o_custkey", "rn")
@@ -75,7 +75,7 @@ object Windows {
     val w = Window.orderBy("c_acctbal", "c_custkey")
     Tables.customer(spark, sfDir)
       .select(col("c_custkey"), col("c_acctbal"),
-        ntile(10).over(w).as("decile"),
+        ntile(10).over(w).cast("long").as("decile"),
         round(percent_rank().over(w), 6).as("pr"),
         round(cume_dist().over(w), 6).as("cd"))
       .orderBy("c_custkey")

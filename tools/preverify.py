@@ -38,9 +38,11 @@ def norm_cell(v):
 def fetch_norm(con, sql):
     cur = con.sql(sql)
     cols = list(cur.columns)
+    types = [str(t) for t in cur.types]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     rows = cur.fetchall()
-    return [cols[i] for i in order], [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return ([cols[i] for i in order], [types[i] for i in order],
+            [tuple(norm_cell(r[i]) for i in order) for r in rows])
 
 
 def main():
@@ -63,19 +65,24 @@ def main():
             n_fail += 1
             continue
         try:
-            ocols, orows = fetch_norm(con, sql)
+            ocols, otypes, orows = fetch_norm(con, sql)
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
         try:
-            ecols, erows = fetch_norm(con, f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
+            ecols, etypes, erows = fetch_norm(con, f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
         except Exception as e:
             print(f"FAIL {name}: engine parquet read error: {e}")
             n_fail += 1
             continue
         if ocols != ecols:
             print(f"FAIL {name}: column mismatch oracle={ocols} engine={ecols}")
+            n_fail += 1
+            continue
+        if otypes != etypes:
+            diff = [(c, o, e) for c, o, e in zip(ocols, otypes, etypes) if o != e]
+            print(f"FAIL {name}: dtype mismatch (col, oracle, engine): {diff}")
             n_fail += 1
             continue
         if len(orows) != len(erows):
