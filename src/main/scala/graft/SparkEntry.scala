@@ -23,10 +23,39 @@ object SparkEntry {
       Composite.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    Scans.oracles ++ Filters.oracles ++ Joins.oracles ++ Aggregations.oracles ++
-      Windows.oracles ++ Sorts.oracles ++ SetOps.oracles ++ ScalarFuncs.oracles ++
-      EventTime.oracles ++ LlmText.oracles ++ LlmVector.oracles ++ Udfs.oracles ++
-      Composite.oracles
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * Each SQL is made self-contained by prefixing CTEs that bind every
+    * referenced table name to `read_parquet('<t2 sfDir>/<table>.parquet')`:
+    * the SQL then runs whether or not the harness pre-attaches same-named
+    * views (a CTE shadows a view of the same name, reading identical data).
+    * t2 runs at sf0.01 (TESTDATA.md); tools/preverify.py rewrites the path
+    * when replaying at other scale factors. */
+  def oracleSql: Map[String, String] = {
+    val raw =
+      Scans.oracles ++ Filters.oracles ++ Joins.oracles ++ Aggregations.oracles ++
+        Windows.oracles ++ Sorts.oracles ++ SetOps.oracles ++ ScalarFuncs.oracles ++
+        EventTime.oracles ++ LlmText.oracles ++ LlmVector.oracles ++ Udfs.oracles ++
+        Composite.oracles
+    raw.map { case (k, sql) => k -> selfContain(sql, "/root/testdata/sf0.01") }
+  }
+
+  private val tableNames = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Prefix WITH-bindings for every table the SQL references (word-boundary
+    * match); merges with an existing WITH clause. */
+  private[graft] def selfContain(sql: String, sfDir: String): String = {
+    val used = tableNames.filter(t => s"\\b$t\\b".r.findFirstIn(sql).isDefined)
+    if (used.isEmpty) sql
+    else {
+      val ctes = used.map(t => s"$t AS (SELECT * FROM read_parquet('$sfDir/$t.parquet'))")
+        .mkString(", ")
+      val trimmed = sql.trim
+      if (trimmed.take(4).equalsIgnoreCase("WITH"))
+        s"WITH $ctes, ${trimmed.drop(4).trim}"
+      else
+        s"WITH $ctes $trimmed"
+    }
+  }
 }

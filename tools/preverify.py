@@ -49,6 +49,9 @@ def main():
     sf_dir, out_dir = Path(sys.argv[1]), Path(sys.argv[2])
     only = set(sys.argv[3:])
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+    # Oracle SQLs are self-contained against the t2 dir (sf0.01); rewrite the
+    # embedded read_parquet paths when replaying at another scale factor.
+    oracle = {k: v.replace("/root/testdata/sf0.01", str(sf_dir)) for k, v in oracle.items()}
     con = duckdb.connect()
     for t in TABLES:
         p = sf_dir / f"{t}.parquet"
