@@ -118,7 +118,34 @@ object ScalarFuncs {
       .orderBy("event_type")
   }
 
+  /** Edit distance (levenshtein) against a reference key format. */
+  def strDistance(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"),
+        levenshtein(col("c_name"), lit("Customer#000000001")).cast("long").as("lev_ref"),
+        levenshtein(lower(col("c_mktsegment")), lit("building")).cast("long").as("lev_seg"))
+      .orderBy("c_custkey")
+
+  /** Array set algebra: union/intersect/except of the two halves of each
+    * doc's token list (sorted so element order is engine-independent). */
+  def arraySetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(lower(trim(col("text"))), " ")
+    Tables.documents(spark, sfDir)
+      // floor-div on both engines (cast-of-double rounds in DuckDB but
+      // truncates in Spark — floor first makes them agree on odd counts)
+      .withColumn("half", floor(size(toks) / 2).cast("int"))
+      .withColumn("h1", array_distinct(slice(toks, lit(1), col("half"))))
+      .withColumn("h2", array_distinct(slice(toks, col("half") + 1, size(toks))))
+      .select(col("doc_id"),
+        array_sort(array_union(col("h1"), col("h2"))).as("u"),
+        array_sort(array_intersect(col("h1"), col("h2"))).as("i"),
+        array_sort(array_except(col("h1"), col("h2"))).as("d"))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "str_distance" -> strDistance,
+    "array_set_ops" -> arraySetOps,
     "str_funcs" -> strFuncs,
     "str_regexp" -> strRegexp,
     "date_funcs" -> dateFuncs,
@@ -130,6 +157,23 @@ object ScalarFuncs {
   )
 
   val oracles: Map[String, String] = Map(
+    "str_distance" ->
+      """SELECT c_custkey,
+        |  CAST(levenshtein(c_name, 'Customer#000000001') AS BIGINT) AS lev_ref,
+        |  CAST(levenshtein(lower(c_mktsegment), 'building') AS BIGINT) AS lev_seg
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "array_set_ops" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(toks[:CAST(floor(len(toks) / 2) AS INT)]) AS h1,
+        |    list_distinct(toks[CAST(floor(len(toks) / 2) AS INT) + 1:]) AS h2
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+        |        FROM documents))
+        |SELECT doc_id,
+        |  list_sort(list_distinct(list_concat(h1, h2))) AS u,
+        |  list_sort(list_filter(h1, x -> list_contains(h2, x))) AS i,
+        |  list_sort(list_filter(h1, x -> NOT list_contains(h2, x))) AS d
+        |FROM d ORDER BY doc_id""".stripMargin,
     "str_funcs" ->
       """SELECT c_custkey,
         |  upper(c_name) AS name_upper,

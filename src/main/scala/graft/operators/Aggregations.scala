@@ -172,9 +172,19 @@ object Aggregations {
         expr("approx_percentile(o_totalprice, 0.9, 1000)").as("ap90"))
       .orderBy("o_orderpriority")
 
+  /** Bitwise aggregates over integer keys per event_type. */
+  def aggBitwise(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(bit_and(col("user_id")).as("uid_and"),
+        bit_or(col("user_id")).as("uid_or"),
+        bit_xor(col("user_id")).as("uid_xor"))
+      .orderBy("event_type")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_pricing_summary" -> aggPricingSummary,
     "agg_approx_percentile" -> aggApproxPercentile,
+    "agg_bitwise" -> aggBitwise,
     "agg_multi_stats" -> aggMultiStats,
     "agg_distinct_exact" -> aggDistinctExact,
     "agg_approx_distinct" -> aggApproxDistinct,
@@ -213,6 +223,11 @@ object Aggregations {
       """SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     // agg_approx_distinct: estimator-specific — spec-checked, no oracle.
+    "agg_bitwise" ->
+      """SELECT event_type,
+        |  bit_and(user_id) AS uid_and, bit_or(user_id) AS uid_or,
+        |  bit_xor(user_id) AS uid_xor
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_rollup" ->
       """SELECT coalesce(r_name, '__all__') AS r_name,
         |  coalesce(n_name, '__all__') AS n_name,

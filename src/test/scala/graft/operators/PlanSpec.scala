@@ -60,6 +60,14 @@ class PlanSpec extends SparkSpec {
       s"range join degenerated to a cross product:\n$plan")
   }
 
+  test("composite Q3 pushes date filters to both fact scans and broadcasts customer") {
+    val plan = formatted(Composite.q3ShippingPriority(spark, sf001))
+    val pushedLines = plan.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushedLines.exists(_.contains("l_shipdate")), "lineitem date filter not pushed")
+    assert(pushedLines.exists(_.contains("o_orderdate")), "orders date filter not pushed")
+    assert(plan.contains("BroadcastHashJoin"), "customer dimension should broadcast")
+  }
+
   test("partitioned read prunes to the filtered partition") {
     // materialize the partitioned layout first (the query writes then reads)
     Scans.sourcePartitionedPrune(spark, sf001).collect()
