@@ -40,10 +40,23 @@ object LlmText {
     * hash permutations are engine-specific (no oracle); the exact companion
     * `llm_jaccard_exact` is the oracle-checked row, and MinHashSpec asserts
     * estimate quality against exact Jaccard. */
+  /** Fixed odd multipliers/offsets for the 32 universal-hash permutations
+    * h_i(x) = a_i * x + b_i over the 32-bit-masked shingle hash — hash each
+    * shingle ONCE, then permute arithmetically (32 string re-hashes per
+    * shingle would dominate the signature cost). Multipliers stay below 2^30
+    * so a_i * x + b_i < 2^63: no long overflow under Spark 4's default ANSI
+    * mode. */
+  private val permA: IndexedSeq[Long] =
+    (0 until 32).map(i => (0x9E3779B9L * (2L * i + 1)) & 0x3FFFFFFFL | 1L)
+  private val permB: IndexedSeq[Long] =
+    (0 until 32).map(i => (0xC2B2AE3DL * (i + 1)) & 0x3FFFFFFFL)
+
   def llmDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
     val sh = d.select(col("doc_id"), explode(shingles(col("norm"), 3)).as("shingle")).distinct()
-    val perms = (0 until 32).map(i => min(xxhash64(concat(col("shingle"), lit(s"#$i")))).as(s"mh$i"))
+      .withColumn("h", xxhash64(col("shingle")).bitwiseAND(lit(0xFFFFFFFFL)))
+    val perms = (0 until 32).map(i =>
+      min(col("h") * lit(permA(i)) + lit(permB(i))).as(s"mh$i"))
     val sigs = sh.groupBy("doc_id").agg(perms.head, perms.tail: _*)
       .withColumn("sig", array((0 until 32).map(i => col(s"mh$i")): _*))
       .select("doc_id", "sig")

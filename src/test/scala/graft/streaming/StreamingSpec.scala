@@ -2,7 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
 
 /** Structured Streaming semantics (SURVEY.md §2.9 ✗-oracle rows): watermarks,
   * late-data drop, session merge across batches, dedup-within-watermark,
@@ -70,6 +72,54 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val ids = spark.sql("SELECT id FROM t_dedup").collect().map(_.getLong(0)).toSeq
       assert(ids.sorted == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("file-source stream resumes from checkpoint and processes only new files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val src = s"$base/src"
+    val ckpt = s"$base/ckpt"
+    Seq(evt("10:00"), evt("10:01"), evt("10:02", user = 2L)).toDS
+      .write.mode("append").parquet(src)
+
+    def runOnce(): Unit = {
+      val sdf = spark.readStream.schema(Encoders.product[Evt].schema).parquet(src)
+      val q = sdf.groupBy("user").count()
+        .writeStream.outputMode("complete").format("memory").queryName("t_file")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    val first = spark.sql("SELECT user, count FROM t_file").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(first == Map(1L -> 2L, 2L -> 1L))
+
+    Seq(evt("10:10"), evt("10:11", user = 3L)).toDS.write.mode("append").parquet(src)
+    runOnce() // restart from the same checkpoint: state restored, only new files read
+    val second = spark.sql("SELECT user, count FROM t_file").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(second == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("foreachBatch sink observes each micro-batch with its id") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val in = MemoryStream[Evt]
+    val q = in.toDF.writeStream
+      .foreachBatch { (df: DataFrame, id: Long) => seen.synchronized { seen += ((id, df.count())): Unit } }
+      .start()
+    try {
+      in.addData(evt("10:00"), evt("10:01"))
+      q.processAllAvailable()
+      in.addData(evt("10:02"))
+      q.processAllAvailable()
+      val counts = seen.synchronized(seen.toList)
+      assert(counts.map(_._2) == List(2L, 1L), s"batches were $counts")
+      assert(counts.map(_._1) == counts.map(_._1).sorted, "batch ids must be increasing")
     } finally q.stop()
   }
 
