@@ -20,7 +20,7 @@ object SparkEntry {
     Scans.defs ++ Filters.defs ++ Joins.defs ++ Aggregations.defs ++
       Windows.defs ++ Sorts.defs ++ SetOps.defs ++ ScalarFuncs.defs ++
       EventTime.defs ++ LlmText.defs ++ LlmVector.defs ++ Udfs.defs ++
-      Composite.defs
+      Composite.defs ++ TimeSeries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -36,7 +36,7 @@ object SparkEntry {
       Scans.oracles ++ Filters.oracles ++ Joins.oracles ++ Aggregations.oracles ++
         Windows.oracles ++ Sorts.oracles ++ SetOps.oracles ++ ScalarFuncs.oracles ++
         EventTime.oracles ++ LlmText.oracles ++ LlmVector.oracles ++ Udfs.oracles ++
-        Composite.oracles
+        Composite.oracles ++ TimeSeries.oracles
     raw.map { case (k, sql) => k -> selfContain(sql, "/root/testdata/sf0.01") }
   }
 
