@@ -82,4 +82,21 @@ class PlanSpec extends SparkSpec {
     val plan = formatted(LlmText.llmSentimentLexicon(spark, sf001))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
   }
+
+  test("no declared query plans an accidental cross product") {
+    // Intentional pairwise/cross plans: the cross-join grid, the brute-force
+    // cosine baseline (and its kNN consumer), and the IVF coarse quantizer
+    // (crossJoin against a broadcast 10-row centroid table).
+    val whitelist = Set("join_cross", "llm_cosine_topk", "llm_knn_label", "llm_ann_ivf")
+    val offenders = graft.SparkEntry.queries.toSeq
+      .filterNot { case (name, _) => whitelist(name) }
+      .flatMap { case (name, fn) =>
+        // analysis only — plans are built, never executed
+        val plan = formatted(fn(spark, sf001))
+        if (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+      }
+    assert(offenders.isEmpty, s"cross products in: ${offenders.sorted.mkString(", ")}")
+  }
 }
