@@ -75,12 +75,15 @@ object LlmText {
       .orderBy("a", "b")
   }
 
-  /** token-position n-shingles as space-joined strings via SQL transform. */
+  /** token-position n-shingles as space-joined strings via SQL transform.
+    * Documents with fewer than n tokens yield an empty array (unguarded,
+    * sequence(0, size-n) would run DESCENDING for short docs and slice(_, 0,
+    * n) would throw). */
   private def shingles(text: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
     val toks = split(text, " ")
-    filter(
-      transform(sequence(lit(0), size(toks) - n), i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
-      s => length(s) > 0)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Exact token-set Jaccard for doc pairs within the same (lang, source)
@@ -212,9 +215,9 @@ object LlmText {
       .select(col("doc_id"), md5(col("norm")).as("fingerprint"))
       .orderBy("doc_id")
 
-  /** 64-bit SimHash: per-token xxhash64 bit votes (engine-specific hash —
-    * rows-only; SimHashSpec asserts locality properties). */
-  def llmSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Unsorted SimHash core — shared by the declared query and the banded
+    * near-dup operator so compositions don't inherit the determinism sort. */
+  private def simhashCore(spark: SparkSession, sfDir: String): DataFrame = {
     val simhashUdf = udf { (hashes: Seq[Long]) =>
       val votes = new Array[Int](64)
       hashes.foreach { h =>
@@ -226,8 +229,12 @@ object LlmText {
     docs(spark, sfDir)
       .withColumn("token_hashes", transform(split(col("norm"), " "), t => xxhash64(t)))
       .select(col("doc_id"), simhashUdf(col("token_hashes")).as("simhash"))
-      .orderBy("doc_id")
   }
+
+  /** 64-bit SimHash: per-token xxhash64 bit votes (engine-specific hash —
+    * rows-only; LlmSpec asserts locality properties). */
+  def llmSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashCore(spark, sfDir).orderBy("doc_id")
 
   /** SimHash near-dup candidate pairs: band each 64-bit simhash into 4
     * 16-bit chunks (LSH — near-dups share ≥1 exact chunk), bucket-join on
@@ -237,7 +244,7 @@ object LlmText {
     * a 16-bit bucket — never a full cross join. */
   def llmSimhashNeardup(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.HammingExprs.register(spark)
-    val sh = llmSimhash(spark, sfDir)
+    val sh = simhashCore(spark, sfDir)
     val banded = sh.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>
           shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
@@ -292,7 +299,7 @@ object LlmText {
         |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
         |FROM inter JOIN sizes sa ON inter.a = sa.doc_id
         |           JOIN sizes sb ON inter.b = sb.doc_id
-        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+        |WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= 0.5
         |ORDER BY a, b""".stripMargin,
     "llm_tfidf" ->
       """WITH tok AS (
@@ -305,7 +312,8 @@ object LlmText {
         |  SELECT tf.doc_id, tf.token,
         |    round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf,
         |    row_number() OVER (PARTITION BY tf.doc_id
-        |      ORDER BY tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) DESC, tf.token ASC) AS rn
+        |      ORDER BY round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) DESC,
+        |               tf.token ASC) AS rn
         |  FROM tf JOIN df USING (token) CROSS JOIN n)
         |SELECT doc_id, token AS top_term, tfidf FROM scored WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,

@@ -35,8 +35,10 @@ object LlmVector {
       .withColumn("nrm", norm("embedding"))
   }
 
-  /** Brute-force cosine top-5 neighbors per vector (the oracle baseline). */
-  def llmCosineTopk(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Unsorted top-5 core shared by the oracle query and the kNN consumer —
+    * the determinism orderBy lives only in the top-level query, so composed
+    * uses don't inherit a wasted whole-dataset sort. */
+  private def cosineTopkCore(spark: SparkSession, sfDir: String): DataFrame = {
     val a = emb(spark, sfDir).select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = emb(spark, sfDir).select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
     val w = Window.partitionBy("a").orderBy(desc("cos"), asc("b"))
@@ -45,13 +47,16 @@ object LlmVector {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("a"), col("b").as("nn"), col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
-      .orderBy("a", "rank")
   }
+
+  /** Brute-force cosine top-5 neighbors per vector (the oracle baseline). */
+  def llmCosineTopk(spark: SparkSession, sfDir: String): DataFrame =
+    cosineTopkCore(spark, sfDir).orderBy("a", "rank")
 
   /** Majority label among the 5 nearest neighbors; per-label accuracy against
     * the vector's own label. Vote ties break by (count desc, label asc). */
   def llmKnnLabel(spark: SparkSession, sfDir: String): DataFrame = {
-    val topk = llmCosineTopk(spark, sfDir)
+    val topk = cosineTopkCore(spark, sfDir)
     val labels = Tables.embeddings(spark, sfDir).select("vec_id", "label")
     val votes = topk
       .join(labels.withColumnRenamed("vec_id", "nn").withColumnRenamed("label", "nn_label"), "nn")
@@ -90,9 +95,11 @@ object LlmVector {
       .groupBy("cell", "pos").agg(avg("v").as("cv"))
       .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pairs"))
       .select(col("cell"), transform(col("pairs"), p => p.getField("cv").cast("float")).as("centroid"))
+      // norm once per centroid BEFORE the broadcast, not once per (vector, cell) pair
+      .withColumn("centroid_nrm", norm("centroid"))
     val withCells = e.crossJoin(broadcast(centroids))
       .withColumn("dist2cell", dot("embedding", "centroid") /
-        (col("nrm") * norm("centroid")))
+        (col("nrm") * col("centroid_nrm")))
     val wCell = Window.partitionBy("vec_id").orderBy(desc("dist2cell"), asc("cell"))
     val ranked = withCells.withColumn("cell_rank", row_number().over(wCell))
     val indexed = ranked.filter(col("cell_rank") === 1)

@@ -44,8 +44,13 @@ object Scans {
     * lineitem sample to a temp dir in both formats, reads both back with an
     * explicit schema, and returns per-flag counts from each format joined —
     * equal counts prove the roundtrip preserved rows. */
+  /** Per-application temp root so concurrent sessions (Verify + Bench + sbt
+    * test) never clobber each other's sink directories. */
+  private def tmpRoot(spark: SparkSession): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${spark.sparkContext.applicationId}"
+
   def sourceCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip"
+    val tmp = s"${tmpRoot(spark)}/roundtrip"
     val sample = Tables.lineitem(spark, sfDir)
       .filter(col("l_orderkey") < 1000)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
@@ -63,7 +68,7 @@ object Scans {
 
   /** ORC sink/source roundtrip (rows-only, like the csv/json one). */
   def sourceOrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_orc"
+    val tmp = s"${tmpRoot(spark)}/roundtrip_orc"
     val sample = Tables.lineitem(spark, sfDir)
       .filter(col("l_orderkey") < 1000)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
@@ -78,7 +83,7 @@ object Scans {
     * asserts PartitionFilters). Oracle-checkable because the counts must
     * equal the unpartitioned table's — the layout changes, the data doesn't. */
   def sourcePartitionedPrune(spark: SparkSession, sfDir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders"
+    val tmp = s"${tmpRoot(spark)}/part_orders"
     Tables.orders(spark, sfDir)
       .withColumn("o_year", year(col("o_orderdate")))
       .write.mode("overwrite").partitionBy("o_year").parquet(tmp)

@@ -21,6 +21,7 @@ class LlmSpec extends SparkSpec {
       (1L, base, "en", "src0", base.length.toLong),
       (2L, nearDup, "en", "src0", nearDup.length.toLong),
       (3L, distinct, "en", "src0", distinct.length.toLong),
+      (4L, "ab cd", "en", "src0", 5L), // shorter than one 3-shingle — must not crash
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     dir
@@ -32,6 +33,8 @@ class LlmSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)), "93%-overlap shingle pair must be a candidate")
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
       "disjoint docs must not be candidates")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "a sub-shingle-length doc must pass through with no shingles, not crash")
   }
 
   test("simhash is local: near-dups differ in few bits, distinct docs in many") {
