@@ -37,6 +37,17 @@ class LlmSpec extends SparkSpec {
       "a sub-shingle-length doc must pass through with no shingles, not crash")
   }
 
+  test("minhash estimate tracks the exact shingle jaccard") {
+    val est = LlmText.llmDedupMinhash(spark, fixtureDir)
+      .filter(col("a") === 1L && col("b") === 2L)
+      .collect().map(_.getDouble(2)).headOption
+    assert(est.isDefined)
+    // exact 3-shingle jaccard of the fixture near-dup pair: 48 tokens, one
+    // change affects 3 of 46 shingles → J = 43/49 ≈ 0.878
+    assert(math.abs(est.get - 43.0 / 49.0) <= 0.15,
+      s"estimate ${est.get} too far from exact ${43.0 / 49.0}")
+  }
+
   test("simhash is local: near-dups differ in few bits, distinct docs in many") {
     val sh = LlmText.llmSimhash(spark, fixtureDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
