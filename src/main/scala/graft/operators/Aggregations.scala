@@ -181,10 +181,35 @@ object Aggregations {
         bit_xor(col("user_id")).as("uid_xor"))
       .orderBy("event_type")
 
+  /** Conditional + argmax aggregates: count_if, bool_or/bool_and, max_by
+    * with a unique composite ordering key (ties on value broken by id, so
+    * both engines pick the same row). */
+  def aggConditional(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(count_if(col("value") > 100).as("n_big"),
+        bool_or(col("value") > 400).as("any_huge"),
+        bool_and(col("value") > 0).as("all_positive"),
+        max_by(col("event_id"), struct(col("value"), col("event_id"))).as("top_value_event"))
+      .orderBy("event_type")
+
+  /** Sorted string aggregation (listagg idiom): region name -> comma-joined
+    * sorted nation list. */
+  def aggStringConcat(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name")
+      .agg(array_join(array_sort(collect_list("n_name")), ",").as("nations"))
+      .orderBy("r_name")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_pricing_summary" -> aggPricingSummary,
     "agg_approx_percentile" -> aggApproxPercentile,
     "agg_bitwise" -> aggBitwise,
+    "agg_conditional" -> aggConditional,
+    "agg_string_concat" -> aggStringConcat,
     "agg_multi_stats" -> aggMultiStats,
     "agg_distinct_exact" -> aggDistinctExact,
     "agg_approx_distinct" -> aggApproxDistinct,
@@ -228,6 +253,28 @@ object Aggregations {
         |  bit_and(user_id) AS uid_and, bit_or(user_id) AS uid_or,
         |  bit_xor(user_id) AS uid_xor
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // DuckDB 1.0 arg_max has no struct-key overload — the deterministic
+    // argmax (value DESC, event_id DESC) is a window instead.
+    "agg_conditional" ->
+      """WITH base AS (
+        |  SELECT event_type,
+        |    count(*) FILTER (WHERE value > 100) AS n_big,
+        |    bool_or(value > 400) AS any_huge,
+        |    bool_and(value > 0) AS all_positive
+        |  FROM events GROUP BY event_type),
+        |top AS (
+        |  SELECT event_type, event_id AS top_value_event FROM (
+        |    SELECT event_type, event_id,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY value DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1)
+        |SELECT base.event_type, n_big, any_huge, all_positive, top_value_event
+        |FROM base JOIN top USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+    "agg_string_concat" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "agg_rollup" ->
       """SELECT coalesce(r_name, '__all__') AS r_name,
         |  coalesce(n_name, '__all__') AS n_name,
