@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Local replay of the driver's t2 correctness gate (SURVEY.md §5.4).
 
-Usage: python3 tools/preverify.py <sfDir> <outDir> [query ...]
+Usage: python3 tools/preverify.py <sfDir> <outDir> [--bitexact] [query ...]
+
+--bitexact compares float cells by their IEEE-754 bits (catches -0.0 and
+last-bit drift a hash compare would) instead of the round-to-9-decimals
+default. Round-1 state: all 90 oracle queries pass bit-exact.
 
 Reads <outDir>/oracle_sql.json (written by graft.Verify), attaches every
 table in <sfDir> as a same-named DuckDB view, runs each oracle SQL, and
@@ -12,12 +16,14 @@ Exit code 0 iff every query matches.
 """
 import json
 import math
+import struct
 import sys
 from pathlib import Path
 
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+BITEXACT = False
 
 
 def norm_cell(v):
@@ -25,6 +31,8 @@ def norm_cell(v):
     if v is None:
         return None
     if isinstance(v, float):
+        if BITEXACT:
+            return struct.pack("d", v)
         if math.isnan(v):
             return "NaN"
         return round(v, 9)
@@ -46,8 +54,11 @@ def fetch_norm(con, sql):
 
 
 def main():
-    sf_dir, out_dir = Path(sys.argv[1]), Path(sys.argv[2])
-    only = set(sys.argv[3:])
+    global BITEXACT
+    args = [a for a in sys.argv[1:] if a != "--bitexact"]
+    BITEXACT = "--bitexact" in sys.argv
+    sf_dir, out_dir = Path(args[0]), Path(args[1])
+    only = set(args[2:])
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
     # Oracle SQLs are self-contained against the t2 dir (sf0.01); rewrite the
     # embedded read_parquet paths when replaying at another scale factor.
