@@ -91,17 +91,46 @@ object LlmText {
     * shared token) and intersect token ARRAYS per pair — ~20× fewer join rows
     * than the explode-token formulation, same exact result. */
   def llmJaccardExact(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.SortedIntersectExprs.register(spark)
     val d = docs(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(split(col("norm"), " ")).as("toks"))
+        array_sort(array_distinct(split(col("norm"), " "))).as("toks"))
       .withColumn("n", size(col("toks")))
+      .repartition(col("lang"), col("source"))
     val a = d.select(col("doc_id").as("a"), col("lang"), col("source"), col("toks").as("ta"), col("n").as("na"))
     val b = d.select(col("doc_id").as("b"), col("lang").as("lang2"), col("source").as("source2"), col("toks").as("tb"), col("n").as("nb"))
     a.join(b, col("lang") === col("lang2") && col("source") === col("source2") && col("a") < col("b"))
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("inter", expr("graft_sorted_intersect_count(ta, tb)"))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jaccard") >= 0.5)
+      .select("a", "b", "jaccard")
+      .orderBy("a", "b")
+  }
+
+  /** Exact word-3-gram (shingle) Jaccard for doc pairs within (lang, source)
+    * blocks, threshold 0.3 — the n-gram variant of `llm_jaccard_exact`
+    * (and the exact counterpart of what MinHash estimates). */
+  def llmNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.SortedIntersectExprs.register(spark)
+    // repartition on the block key MATERIALIZES the per-doc gram arrays
+    // before the self-join — without the boundary Catalyst collapses the
+    // projection into the join and regenerates shingles once per PAIR
+    // (measured 13s vs ~3s at sf0.1); it is also the co-partitioning the
+    // block join wants at scale.
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_sort(array_distinct(shingles(col("norm"), 3))).as("grams"))
+      .withColumn("n", size(col("grams")))
+      .filter(col("n") > 0)
+      .repartition(col("lang"), col("source"))
+    val a = d.select(col("doc_id").as("a"), col("lang"), col("source"), col("grams").as("ga"), col("n").as("na"))
+    val b = d.select(col("doc_id").as("b"), col("lang").as("lang2"), col("source").as("source2"), col("grams").as("gb"), col("n").as("nb"))
+    a.join(b, col("lang") === col("lang2") && col("source") === col("source2") && col("a") < col("b"))
+      .withColumn("inter", expr("graft_sorted_intersect_count(ga, gb)"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= 0.3)
       .select("a", "b", "jaccard")
       .orderBy("a", "b")
   }
@@ -263,6 +292,7 @@ object LlmText {
     "llm_dedup_exact" -> llmDedupExact,
     "llm_dedup_minhash" -> llmDedupMinhash,
     "llm_jaccard_exact" -> llmJaccardExact,
+    "llm_ngram_jaccard" -> llmNgramJaccard,
     "llm_tfidf" -> llmTfidf,
     "llm_ngrams" -> llmNgrams,
     "llm_text_stats" -> llmTextStats,
@@ -300,6 +330,25 @@ object LlmText {
         |FROM inter JOIN sizes sa ON inter.a = sa.doc_id
         |           JOIN sizes sb ON inter.b = sb.doc_id
         |WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= 0.5
+        |ORDER BY a, b""".stripMargin,
+    "llm_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(
+        |      generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS grams
+        |  FROM (SELECT doc_id, lang, source,
+        |          string_split(lower(trim(text)), ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 3),
+        |d AS (SELECT doc_id, lang, source, grams, len(grams) AS n FROM g WHERE len(grams) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, a.n AS na, b.n AS nb,
+        |    len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS inter
+        |  FROM d a JOIN d b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT a, b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+        |FROM pairs
+        |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.3
         |ORDER BY a, b""".stripMargin,
     "llm_tfidf" ->
       """WITH tok AS (
