@@ -1,9 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR.
+  *
+  * Prints ONE SHORT machine-readable JSON line (total + headline queries
+  * only) — the full per-query map made the line ~3 KB, which got truncated
+  * in the driver's captured output tail and parsed as null. The complete
+  * per-query detail goes to a file instead (SPARK_GRAFT_BENCH_DETAIL,
+  * default /tmp/graft_bench_detail.json).
+  *
+  * Failed queries are excluded from the total so round-over-round totals
+  * stay comparable, and reported in the `failed` list.
+  */
 object Bench {
+  private val headline = Seq(
+    "agg_pricing_summary", "scan_lineitem", "join_inner_hash", "join_asof",
+    "win_running_sum", "evt_tumbling", "llm_dedup_minhash", "llm_ngram_jaccard",
+    "llm_cosine_topk", "llm_ann_ivf", "llm_tfidf")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/tmp/graft_bench_detail.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,11 +44,19 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val ok = results.filterNot { case (k, _) => failures.contains(k) }
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    def qsJson(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      }.mkString("{", ",", "}")
     val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"queries":${qsJson(results)},"failed":$failed,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val head = qsJson(headline.flatMap(q => results.get(q).map(q -> _)))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"queries":$head,"failed":$failed,"sf":"$sfDir","detail":"$detailPath"}""")
     spark.stop()
   }
 }

@@ -82,7 +82,8 @@ object ScalarFuncs {
         size(col("tokens")).cast("long").as("n_tokens"),
         size(array_distinct(col("tokens"))).cast("long").as("n_distinct"),
         array_contains(col("tokens"), "hash").as("has_hash"),
-        slice(array_sort(array_distinct(col("tokens"))), 1, 5).as("first5"),
+        // comma-joined, not a bare array: the driver comparator can't hash arrays
+        array_join(slice(array_sort(array_distinct(col("tokens"))), 1, 5), ",").as("first5"),
         aggregate(col("tokens"), lit(0L), (acc, x) => acc + length(x)).as("sum_len"),
         size(filter(col("tokens"), x => length(x) > 4)).cast("long").as("n_long"))
       .orderBy("doc_id")
@@ -137,9 +138,10 @@ object ScalarFuncs {
       .withColumn("h1", array_distinct(slice(toks, lit(1), col("half"))))
       .withColumn("h2", array_distinct(slice(toks, col("half") + 1, size(toks))))
       .select(col("doc_id"),
-        array_sort(array_union(col("h1"), col("h2"))).as("u"),
-        array_sort(array_intersect(col("h1"), col("h2"))).as("i"),
-        array_sort(array_except(col("h1"), col("h2"))).as("d"))
+        // comma-joined, not bare arrays: the driver comparator can't hash arrays
+        array_join(array_sort(array_union(col("h1"), col("h2"))), ",").as("u"),
+        array_join(array_sort(array_intersect(col("h1"), col("h2"))), ",").as("i"),
+        array_join(array_sort(array_except(col("h1"), col("h2"))), ",").as("d"))
       .orderBy("doc_id")
   }
 
@@ -170,9 +172,9 @@ object ScalarFuncs {
         |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
         |        FROM documents))
         |SELECT doc_id,
-        |  list_sort(list_distinct(list_concat(h1, h2))) AS u,
-        |  list_sort(list_filter(h1, x -> list_contains(h2, x))) AS i,
-        |  list_sort(list_filter(h1, x -> NOT list_contains(h2, x))) AS d
+        |  coalesce(array_to_string(list_sort(list_distinct(list_concat(h1, h2))), ','), '') AS u,
+        |  coalesce(array_to_string(list_sort(list_filter(h1, x -> list_contains(h2, x))), ','), '') AS i,
+        |  coalesce(array_to_string(list_sort(list_filter(h1, x -> NOT list_contains(h2, x))), ','), '') AS d
         |FROM d ORDER BY doc_id""".stripMargin,
     "str_funcs" ->
       """SELECT c_custkey,
@@ -221,7 +223,7 @@ object ScalarFuncs {
         |  len(tokens) AS n_tokens,
         |  len(list_distinct(tokens)) AS n_distinct,
         |  list_contains(tokens, 'hash') AS has_hash,
-        |  list_sort(list_distinct(tokens))[:5] AS first5,
+        |  coalesce(array_to_string(list_sort(list_distinct(tokens))[:5], ','), '') AS first5,
         |  CAST(list_aggregate(list_transform(tokens, x -> length(x)), 'sum') AS BIGINT) AS sum_len,
         |  len(list_filter(tokens, x -> length(x) > 4)) AS n_long
         |FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)

@@ -5,43 +5,63 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native Catalyst expression: |A ∩ B| for two SORTED, DISTINCT string
-  * arrays, via a merge scan — the hot inner loop of exact pairwise Jaccard.
+/** Native Catalyst expression: |A ∩ B| for two SORTED, DISTINCT arrays of
+  * strings OR longs, via a merge scan — the hot inner loop of exact
+  * pairwise Jaccard.
   *
   * The built-in `array_intersect` builds a hash set per invocation; on a
   * blocked self-join that's one set build + probe per PAIR (122k pairs × ~42
-  * strings at sf0.1). The merge scan is allocation-free and O(|A|+|B|)
-  * comparisons, ~2× faster end-to-end on the jaccard queries. Callers must
-  * pass `array_sort(array_distinct(...))` on both sides — results are only
-  * defined for sorted distinct inputs.
+  * elements at sf0.1). The merge scan is allocation-free and O(|A|+|B|)
+  * comparisons. The long form exists so callers can intersect xxhash64'd
+  * tokens — 8-byte compares instead of UTF8String byte-wise compares, ~10×
+  * cheaper in the inner loop, with identical counts up to 64-bit hash
+  * collisions (probability ~1e-11 over this workload). Callers must pass
+  * `array_sort(array_distinct(...))` on both sides — results are only
+  * defined for sorted distinct inputs. Null ELEMENTS (which array types
+  * permit) are skipped, never counted, and never NPE.
   */
 case class SortedIntersectCount(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_sorted_intersect_count"
 
+  private def isLong: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"graft_sorted_intersect_count requires (array<string>, array<string>), got (${l.catalogString}, ${r.catalogString})")
+        s"graft_sorted_intersect_count requires two array<string> or two array<long>, got (${l.catalogString}, ${r.catalogString})")
     }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val long = isLong
     var i = 0
     var j = 0
     var c = 0
     val nx = x.numElements()
     val ny = y.numElements()
     while (i < nx && j < ny) {
-      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (cmp == 0) { c += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+      // arrays permit null elements; skip them (a null never counts toward
+      // the intersection) instead of NPE-ing in the comparison
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val cmp =
+          if (long) java.lang.Long.compare(x.getLong(i), y.getLong(j))
+          else x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -52,13 +72,20 @@ case class SortedIntersectCount(left: Expression, right: Expression) extends Bin
       val j = ctx.freshName("j")
       val c = ctx.freshName("c")
       val cmp = ctx.freshName("cmp")
+      val cmpExpr =
+        if (isLong) s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
+        else s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
       s"""
          |int $i = 0, $j = 0, $c = 0;
          |while ($i < $a.numElements() && $j < $b.numElements()) {
-         |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-         |  if ($cmp == 0) { $c++; $i++; $j++; }
-         |  else if ($cmp < 0) { $i++; }
-         |  else { $j++; }
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    int $cmp = $cmpExpr;
+         |    if ($cmp == 0) { $c++; $i++; $j++; }
+         |    else if ($cmp < 0) { $i++; }
+         |    else { $j++; }
+         |  }
          |}
          |${ev.value} = $c;
        """.stripMargin

@@ -64,22 +64,26 @@ object Udfs {
     def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
   }
 
-  /** Discount-weighted avg price per returnflag (UDAF surface). */
+  /** Discount-weighted avg price per returnflag (UDAF surface). Rounded at
+    * 4 decimals (the repo's ratio-of-large-sums margin), not 6: the double
+    * sums are shuffle-order dependent, and a tighter quantum can land on a
+    * rounding boundary and flake the bit-exact gate at larger SFs. */
   def udafWeightedAvg(spark: SparkSession, sfDir: String): DataFrame = {
     val wavg = udaf(WeightedAvg)
     Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag")
-      .agg(round(wavg(col("l_extendedprice"), col("l_discount")), 6).as("weighted_avg_price"))
+      .agg(round(wavg(col("l_extendedprice"), col("l_discount")), 4).as("weighted_avg_price"))
       .orderBy("l_returnflag")
   }
 
   /** Geometric mean of quantity per linestatus (TypedImperativeAggregate-style
-    * exercise as an Aggregator). */
+    * exercise as an Aggregator). 4-decimal rounding for the same
+    * order-dependent-sum reason as udaf_weighted_avg. */
   def udafGeoMean(spark: SparkSession, sfDir: String): DataFrame = {
     val gm = udaf(GeoMean)
     Tables.lineitem(spark, sfDir)
       .groupBy("l_linestatus")
-      .agg(round(gm(col("l_quantity")), 6).as("geo_mean_qty"))
+      .agg(round(gm(col("l_quantity")), 4).as("geo_mean_qty"))
       .orderBy("l_linestatus")
   }
 
@@ -116,10 +120,10 @@ object Udfs {
         |LIMIT 10""".stripMargin,
     "udaf_weighted_avg" ->
       """SELECT l_returnflag,
-        |  round(sum(l_extendedprice * l_discount) / sum(l_discount), 6) AS weighted_avg_price
+        |  round(sum(l_extendedprice * l_discount) / sum(l_discount), 4) AS weighted_avg_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "udaf_geo_mean" ->
-      """SELECT l_linestatus, round(exp(avg(ln(l_quantity))), 6) AS geo_mean_qty
+      """SELECT l_linestatus, round(exp(avg(ln(l_quantity))), 4) AS geo_mean_qty
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "udtf_shingles" ->
       """WITH tok AS (

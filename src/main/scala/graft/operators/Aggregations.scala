@@ -149,17 +149,23 @@ object Aggregations {
     Tables.events(spark, sfDir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
       .groupBy("event_type")
-      .agg(round(corr("value", "k"), 6).as("corr_vk"),
-        round(covar_samp("value", "k"), 6).as("covar_vk"))
+      // 4-decimal margin: corr/covar are ratios of shuffle-order-dependent
+      // double sums — 6 decimals can flake on a rounding boundary at scale
+      .agg(round(corr("value", "k"), 4).as("corr_vk"),
+        round(covar_samp("value", "k"), 4).as("covar_vk"))
       .orderBy("event_type")
 
-  /** Per nation: first 5 of the sorted list of customer account balances. */
+  /** Per nation: first 5 of the sorted list of customer account balances.
+    * Emitted as a comma-joined %.2f string (not a bare array) so the driver's
+    * pandas comparator can hash the column; raw arrays crash its sort. */
   def aggCollectSorted(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir)
     val n = Tables.nation(spark, sfDir)
     c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy("n_name")
-      .agg(slice(array_sort(collect_list("c_acctbal")), 1, 5).as("top_bals"))
+      .agg(array_join(
+        transform(slice(array_sort(collect_list("c_acctbal")), 1, 5),
+          x => format_string("%.2f", round(x, 2))), ",").as("top_bals"))
       .orderBy("n_name")
   }
 
@@ -317,11 +323,13 @@ object Aggregations {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "agg_corr_covar" ->
       """SELECT event_type,
-        |  round(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS corr_vk,
-        |  round(covar_samp(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS covar_vk
+        |  round(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS corr_vk,
+        |  round(covar_samp(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS covar_vk
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_collect_sorted" ->
-      """SELECT n_name, (list(c_acctbal ORDER BY c_acctbal))[:5] AS top_bals
+      """SELECT n_name,
+        |  array_to_string(list_transform((list(c_acctbal ORDER BY c_acctbal))[:5],
+        |    x -> printf('%.2f', round(x, 2))), ',') AS top_bals
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
   )

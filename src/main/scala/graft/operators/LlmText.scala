@@ -24,9 +24,12 @@ object LlmText {
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).withColumn("norm", lower(trim(col("text"))))
 
-  /** Exact dedup on normalized text, keep min doc_id; survivor count per lang. */
+  /** Exact dedup on normalized text, keep min doc_id; survivor count per
+    * lang. The window partitions on sha2(norm) — a 64-char shuffle key —
+    * instead of the full normalized document, so the exchange moves hashes,
+    * not documents, as the key. (SHA-256 collisions are negligible.) */
   def llmDedupExact(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy("norm")
+    val w = Window.partitionBy(sha2(col("norm"), 256))
     docs(spark, sfDir)
       .withColumn("keeper", min("doc_id").over(w))
       .filter(col("doc_id") === col("keeper"))
@@ -86,21 +89,48 @@ object LlmText {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Self-join candidate pairs within (lang, source, log4-size-bucket)
+    * blocks. The second-level length bucket is LOSSLESS for both jaccard
+    * queries: J ≥ t implies a distinct-element-count ratio ≤ (1-t+1/t)… —
+    * concretely ≤ 2 at t=0.5 and ≤ 10/3 at t=0.3, both < 4 — so a
+    * qualifying pair's base-4 log buckets differ by at most 1. The probe
+    * side replicates into {bkt-1, bkt, bkt+1} and the build side keeps its
+    * own bucket, so every |Δbkt| ≤ 1 pair meets EXACTLY once (the build
+    * bucket equals exactly one probe value) and no qualifying pair is ever
+    * dropped — results are identical to the unbucketed block join, while
+    * within-block population is additionally bounded by length selectivity
+    * as the corpus grows. Input `d` must carry doc_id, lang, source, an
+    * element-array column `arr`, and its size `n`. */
+  private def bucketedSelfPairs(d: DataFrame, arr: String): DataFrame = {
+    val withB = d.withColumn("bkt", floor(log(4.0, col("n"))).cast("int"))
+    val a = withB.select(col("doc_id").as("a"), col("lang"), col("source"),
+      col(arr).as(arr + "_a"), col("n").as("na"),
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("pbkt"))
+    val b = withB.select(col("doc_id").as("b"), col("lang").as("lang2"),
+      col("source").as("source2"), col(arr).as(arr + "_b"), col("n").as("nb"),
+      col("bkt").as("bkt2"))
+    a.join(b, col("lang") === col("lang2") && col("source") === col("source2") &&
+      col("pbkt") === col("bkt2") && col("a") < col("b"))
+  }
+
   /** Exact token-set Jaccard for doc pairs within the same (lang, source)
-    * block, threshold 0.5. Pairs join once per block on the key (not once per
-    * shared token) and intersect token ARRAYS per pair — ~20× fewer join rows
-    * than the explode-token formulation, same exact result. */
+    * block — second-level length-bucketed (see bucketedSelfPairs), threshold
+    * 0.5. Pairs join once per block on the key (not once per shared token)
+    * and intersect token ARRAYS per pair — ~20× fewer join rows than the
+    * explode-token formulation, same exact result. */
   def llmJaccardExact(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.SortedIntersectExprs.register(spark)
+    graft.functions.HashedShingles.register(spark)
+    // intersect hashed tokens, not strings (graft_hashed_shingles width 1 =
+    // sorted distinct token hashes in one codegen loop): 8-byte compares in
+    // the per-pair merge scan; |A ∩ B| is unchanged (collisions ~1e-11)
     val d = docs(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("source"),
-        array_sort(array_distinct(split(col("norm"), " "))).as("toks"))
+        expr("graft_hashed_shingles(norm, 1)").as("toks"))
       .withColumn("n", size(col("toks")))
       .repartition(col("lang"), col("source"))
-    val a = d.select(col("doc_id").as("a"), col("lang"), col("source"), col("toks").as("ta"), col("n").as("na"))
-    val b = d.select(col("doc_id").as("b"), col("lang").as("lang2"), col("source").as("source2"), col("toks").as("tb"), col("n").as("nb"))
-    a.join(b, col("lang") === col("lang2") && col("source") === col("source2") && col("a") < col("b"))
-      .withColumn("inter", expr("graft_sorted_intersect_count(ta, tb)"))
+    bucketedSelfPairs(d, "toks")
+      .withColumn("inter", expr("graft_sorted_intersect_count(toks_a, toks_b)"))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jaccard") >= 0.5)
@@ -113,6 +143,7 @@ object LlmText {
     * (and the exact counterpart of what MinHash estimates). */
   def llmNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.SortedIntersectExprs.register(spark)
+    graft.functions.HashedShingles.register(spark)
     // repartition on the block key MATERIALIZES the per-doc gram arrays
     // before the self-join — without the boundary Catalyst collapses the
     // projection into the join and regenerates shingles once per PAIR
@@ -120,14 +151,15 @@ object LlmText {
     // block join wants at scale.
     val d = docs(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("source"),
-        array_sort(array_distinct(shingles(col("norm"), 3))).as("grams"))
+        // one codegen pass: split → 3-gram → hash → sort → dedupe (the
+        // composed-HOF formulation interpreted its lambdas and re-split per
+        // gram — ~2 s per corpus pass at sf0.1; see HashedShingles)
+        expr("graft_hashed_shingles(norm, 3)").as("grams"))
       .withColumn("n", size(col("grams")))
       .filter(col("n") > 0)
       .repartition(col("lang"), col("source"))
-    val a = d.select(col("doc_id").as("a"), col("lang"), col("source"), col("grams").as("ga"), col("n").as("na"))
-    val b = d.select(col("doc_id").as("b"), col("lang").as("lang2"), col("source").as("source2"), col("grams").as("gb"), col("n").as("nb"))
-    a.join(b, col("lang") === col("lang2") && col("source") === col("source2") && col("a") < col("b"))
-      .withColumn("inter", expr("graft_sorted_intersect_count(ga, gb)"))
+    bucketedSelfPairs(d, "grams")
+      .withColumn("inter", expr("graft_sorted_intersect_count(grams_a, grams_b)"))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jaccard") >= 0.3)
@@ -142,10 +174,13 @@ object LlmText {
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val df = tok.select("doc_id", "token").distinct()
       .groupBy("token").agg(count(lit(1)).as("df"))
-    val n = d.count()
+    // N as a broadcast 1-row aggregate inside the plan — not an eager
+    // driver-side d.count(), which cost an extra full scan per invocation.
+    // Fanout.broadcastAll keeps it a broadcast HASH join, not a nested loop.
+    val n = d.agg(count(lit(1)).as("n_total"))
     val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("token"))
-    tf.join(broadcast(df), "token")
-      .withColumn("tfidf", round(col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+    Fanout.broadcastAll(tf.join(broadcast(df), "token"), n, col("token"), col("n_total"))
+      .withColumn("tfidf", round(col("tf") * (log((col("n_total") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("token").as("top_term"), col("tfidf"))

@@ -45,9 +45,27 @@ object Scans {
     * explicit schema, and returns per-flag counts from each format joined —
     * equal counts prove the roundtrip preserved rows. */
   /** Per-application temp root so concurrent sessions (Verify + Bench + sbt
-    * test) never clobber each other's sink directories. */
-  private def tmpRoot(spark: SparkSession): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${spark.sparkContext.applicationId}"
+    * test) never clobber each other's sink directories. Each root is
+    * registered for recursive deletion on JVM exit, so repeated Verify /
+    * Bench / test runs don't leak sample copies under java.io.tmpdir.
+    * NOTE: this makes the roundtrip queries side-effecting (they write
+    * beneath this root when built); anything iterating SparkEntry.queries
+    * only to build plans still triggers the writes. */
+  private val registeredRoots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  private def tmpRoot(spark: SparkSession): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_${spark.sparkContext.applicationId}"
+    if (registeredRoots.add(root))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        deleteRecursively(new java.io.File(root))))
+    root
+  }
 
   def sourceCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val tmp = s"${tmpRoot(spark)}/roundtrip"
@@ -114,8 +132,18 @@ object Scans {
     "scan_events_nanos" ->
       """SELECT event_id, epoch_us(ts) AS epoch_us, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
-    // source_csv_roundtrip / source_orc_roundtrip: side-effecting sink
-    // coverage — rows-only checks (full equality asserted in BatchOpsSpec).
+    // The roundtrip per-flag counts are deterministic — they must equal the
+    // source sample's counts regardless of the sink format — so they ARE
+    // oracle-checkable against lineitem directly (full row equality is
+    // additionally asserted in BatchOpsSpec).
+    "source_csv_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS csv_rows, count(*) AS json_rows
+        |FROM lineitem WHERE l_orderkey < 1000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "source_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS orc_rows
+        |FROM lineitem WHERE l_orderkey < 1000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "source_partitioned_prune" ->
       """SELECT o_orderstatus, count(*) AS cnt,
         |  round(sum(o_totalprice), 2) AS revenue

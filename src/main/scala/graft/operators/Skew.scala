@@ -22,11 +22,19 @@ object Skew {
   def saltedJoin(fact: DataFrame, build: DataFrame, key: String, salt: Int): DataFrame = {
     require(salt > 0, "salt must be positive")
     val salts = array((0 until salt).map(lit): _*)
-    // salt assignment only affects placement, never the result; derive it
-    // from the full fact row hash so it needs no extra state
-    val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(salt)).cast("int"))
-    val repBuild = build.withColumn("__salt", explode(salts))
-    saltedFact.join(repBuild, Seq(key, "__salt"), "inner").drop("__salt")
+    // Collision-proof generated column name: a fact/build column literally
+    // named like our salt column must not be silently joined on or dropped.
+    val saltCol = {
+      var c = "__graft_salt"
+      while (fact.columns.contains(c) || build.columns.contains(c)) c += "_"
+      c
+    }
+    // Salt assignment only affects placement, never the result: a per-row
+    // uniform draw, NOT a hash of every fact column (which fails analysis on
+    // unhashable column types such as MapType). A hot key fans out over all
+    // `salt` buckets regardless of its payload.
+    val saltedFact = fact.withColumn(saltCol, (rand(42) * salt).cast("int"))
+    val repBuild = build.withColumn(saltCol, explode(salts))
+    saltedFact.join(repBuild, Seq(key, saltCol), "inner").drop(saltCol)
   }
 }

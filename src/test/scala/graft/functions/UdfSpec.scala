@@ -35,7 +35,7 @@ class UdfSpec extends SparkSpec {
     val spread = {
       val gm = udaf(Udfs.GeoMean)
       Tables.lineitem(spark, sf001).repartition(8)
-        .groupBy("l_linestatus").agg(round(gm(col("l_quantity")), 6).as("g"))
+        .groupBy("l_linestatus").agg(round(gm(col("l_quantity")), 4).as("g"))
         .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
     }
     assert(one == spread)

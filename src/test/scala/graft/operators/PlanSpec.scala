@@ -83,11 +83,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
   }
 
+  test("embedding similarity queries never plan a nested-loop join") {
+    // The exact all-pairs path is a fragment-replicate equi-join and the IVF
+    // path scores centroids through a constant-key broadcast HASH join, so
+    // no declared embedding query may fall back to BroadcastNestedLoopJoin.
+    val embedding = Seq("llm_cosine_topk", "llm_knn_label", "llm_ann_ivf", "llm_embed_neardup")
+    embedding.foreach { name =>
+      val plan = formatted(graft.SparkEntry.queries(name)(spark, sf001))
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$name plans a nested-loop join:\n$plan")
+    }
+  }
+
   test("no declared query plans an accidental cross product") {
-    // Intentional pairwise/cross plans: the cross-join grid, the brute-force
-    // cosine baseline (and its kNN consumer), and the IVF coarse quantizer
-    // (crossJoin against a broadcast 10-row centroid table).
-    val whitelist = Set("join_cross", "llm_cosine_topk", "llm_knn_label", "llm_ann_ivf")
+    // Intentional pairwise/cross plan: only the bounded 25×5 cross-join grid.
+    // The similarity-search queries are covered (un-whitelisted) above.
+    val whitelist = Set("join_cross")
     val offenders = graft.SparkEntry.queries.toSeq
       .filterNot { case (name, _) => whitelist(name) }
       .flatMap { case (name, fn) =>

@@ -36,11 +36,15 @@ def norm_cell(v):
         if math.isnan(v):
             return "NaN"
         return round(v, 9)
-    if isinstance(v, (list, tuple)):
-        return tuple(norm_cell(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, norm_cell(x)) for k, x in v.items()))
     return v
+
+
+def nested_cols(cols, types):
+    """Columns the driver's pandas comparator cannot hash (sort_values →
+    Categorical dies on numpy.ndarray/dict). Any LIST/STRUCT/MAP output
+    column WILL fail the driver even if values match — reject it here."""
+    return [c for c, t in zip(cols, types)
+            if "[]" in t or t.startswith(("STRUCT", "MAP"))]
 
 
 def fetch_norm(con, sql):
@@ -88,6 +92,13 @@ def main():
             ecols, etypes, erows = fetch_norm(con, f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
         except Exception as e:
             print(f"FAIL {name}: engine parquet read error: {e}")
+            n_fail += 1
+            continue
+        nested = sorted(set(nested_cols(ocols, otypes)) | set(nested_cols(ecols, etypes)))
+        if nested:
+            print(f"FAIL {name}: array/struct/map output column(s) {nested} — "
+                  "the driver's pandas comparator crashes on these; stringify "
+                  "(array_join / array_to_string) on both sides")
             n_fail += 1
             continue
         if ocols != ecols:
