@@ -52,7 +52,11 @@ object SparkEntry {
       val ctes = used.map(t => s"$t AS (SELECT * FROM read_parquet('$sfDir/$t.parquet'))")
         .mkString(", ")
       val trimmed = sql.trim
-      if (trimmed.take(4).equalsIgnoreCase("WITH"))
+      // RECURSIVE must stay the first word after WITH; the table-binding
+      // CTEs themselves are non-recursive, which is fine under it
+      if (trimmed.take(14).equalsIgnoreCase("WITH RECURSIVE"))
+        s"WITH RECURSIVE $ctes, ${trimmed.drop(14).trim}"
+      else if (trimmed.take(4).equalsIgnoreCase("WITH"))
         s"WITH $ctes, ${trimmed.drop(4).trim}"
       else
         s"WITH $ctes $trimmed"

@@ -113,12 +113,9 @@ object LlmText {
       col("pbkt") === col("bkt2") && col("a") < col("b"))
   }
 
-  /** Exact token-set Jaccard for doc pairs within the same (lang, source)
-    * block — second-level length-bucketed (see bucketedSelfPairs), threshold
-    * 0.5. Pairs join once per block on the key (not once per shared token)
-    * and intersect token ARRAYS per pair — ~20× fewer join rows than the
-    * explode-token formulation, same exact result. */
-  def llmJaccardExact(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Unsorted (a, b, jaccard) pairs with exact token-set Jaccard ≥ 0.5,
+    * shared by the declared pair query and the clustering consumer. */
+  private def jaccardPairsCore(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.SortedIntersectExprs.register(spark)
     graft.functions.HashedShingles.register(spark)
     // intersect hashed tokens, not strings (graft_hashed_shingles width 1 =
@@ -135,7 +132,47 @@ object LlmText {
         (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jaccard") >= 0.5)
       .select("a", "b", "jaccard")
-      .orderBy("a", "b")
+  }
+
+  /** Exact token-set Jaccard for doc pairs within the same (lang, source)
+    * block — second-level length-bucketed (see bucketedSelfPairs), threshold
+    * 0.5. Pairs join once per block on the key (not once per shared token)
+    * and intersect token ARRAYS per pair — ~20× fewer join rows than the
+    * explode-token formulation, same exact result. */
+  def llmJaccardExact(spark: SparkSession, sfDir: String): DataFrame =
+    jaccardPairsCore(spark, sfDir).orderBy("a", "b")
+
+  /** Near-duplicate CLUSTERS: connected components over the Jaccard ≥ 0.5
+    * pair graph — the step a 100-TB dedup pipeline runs after pair
+    * generation (keep one survivor per COMPONENT, not per pair; pairwise
+    * keep-min double-drops transitive chains). Distributed min-label
+    * propagation: per round every node takes the min of its own and its
+    * neighbors' labels — one shuffle join + partial-agg min per round,
+    * converging in O(component diameter) rounds. The driver loop carries
+    * only the convergence flag (Pregel-style iteration, not a data loop),
+    * and lineage is truncated per round with localCheckpoint so the plan
+    * stays O(1) per round. Output: component id (min doc_id) and size,
+    * singletons included. */
+  def llmDedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = jaccardPairsCore(spark, sfDir).select("a", "b")
+    val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
+    val nodes = Tables.documents(spark, sfDir).select(col("doc_id").as("id"))
+    var labels = nodes.withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nbr = edges.join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
+        .groupBy("src").agg(min("label").as("nbr_min"))
+      val next = labels.join(nbr, labels("id") === nbr("src"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next_label"))
+        .localCheckpoint()
+      changed = next.filter(col("next_label") < col("label")).count()
+      labels = next.select(col("id"), col("next_label").as("label"))
+      iter += 1
+    }
+    labels.groupBy(col("label").as("cluster")).agg(count(lit(1)).as("csize"))
+      .orderBy("cluster")
   }
 
   /** Exact word-3-gram (shingle) Jaccard for doc pairs within (lang, source)
@@ -327,6 +364,7 @@ object LlmText {
     "llm_dedup_exact" -> llmDedupExact,
     "llm_dedup_minhash" -> llmDedupMinhash,
     "llm_jaccard_exact" -> llmJaccardExact,
+    "llm_dedup_cluster" -> llmDedupCluster,
     "llm_ngram_jaccard" -> llmNgramJaccard,
     "llm_tfidf" -> llmTfidf,
     "llm_ngrams" -> llmNgrams,
@@ -366,6 +404,35 @@ object LlmText {
         |           JOIN sizes sb ON inter.b = sb.doc_id
         |WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= 0.5
         |ORDER BY a, b""".stripMargin,
+    // Connected components replayed with a recursive CTE: `reach` is the
+    // symmetric closure (every node reaches itself and whatever its
+    // neighbors reach); min(reachable) = the component id.
+    "llm_dedup_cluster" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, lang, source,
+        |    unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS token
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT ta.doc_id AS a, tb.doc_id AS b, count(*) AS inter
+        |  FROM tok ta JOIN tok tb
+        |    ON ta.lang = tb.lang AND ta.source = tb.source
+        |   AND ta.token = tb.token AND ta.doc_id < tb.doc_id
+        |  GROUP BY ta.doc_id, tb.doc_id),
+        |pairs AS (
+        |  SELECT a, b FROM inter
+        |  JOIN sizes sa ON inter.a = sa.doc_id
+        |  JOIN sizes sb ON inter.b = sb.doc_id
+        |  WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= 0.5),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |          UNION ALL SELECT b, a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+        |SELECT cluster, count(*) AS csize FROM (
+        |  SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+        |GROUP BY cluster ORDER BY cluster""".stripMargin,
     "llm_ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id, lang, source,

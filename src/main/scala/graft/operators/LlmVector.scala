@@ -148,6 +148,39 @@ object LlmVector {
   def llmAnnIvf(spark: SparkSession, sfDir: String): DataFrame =
     annTopkCore(spark, sfDir).orderBy("a", "rank")
 
+  /** Scalar (per-dimension min/max → uint8) embedding quantization — the
+    * memory side of similarity search at 100 TB: 4× smaller vectors to
+    * broadcast/probe, with the reconstruction error quantifying the recall
+    * cost. Bounds come from an exact per-dimension min/max aggregate
+    * (selections — no float-sum drift, so both engines see identical
+    * bounds) broadcast to every row via Fanout; codes are integers, so
+    * `code_sum` is parity-trivial, and the MSE is the usual left-to-right
+    * double fold both engines share. */
+  def llmEmbedQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val stats = e.select(posexplode(col("embedding"))).toDF("pos", "v")
+      .groupBy("pos").agg(min(col("v").cast("double")).as("lo"),
+        max(col("v").cast("double")).as("hi"))
+    val bounds = stats
+      .groupBy().agg(array_sort(collect_list(struct(col("pos"), col("lo"), col("hi")))).as("plh"))
+      .select(transform(col("plh"), p => p.getField("lo")).as("lows"),
+        transform(col("plh"), p => p.getField("hi")).as("highs"))
+    Fanout.broadcastAll(e, bounds, col("vec_id"), col("lows"))
+      .withColumn("codes", expr(
+        """transform(sequence(0, size(embedding) - 1),
+          |  i -> CASE WHEN highs[i] = lows[i] THEN 0L
+          |    ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - lows[i])
+          |      / (highs[i] - lows[i]) * 255.0D + 0.5D) AS LONG) END)""".stripMargin))
+      .select(col("vec_id"),
+        expr("CAST(aggregate(codes, 0L, (acc, x) -> acc + x) AS BIGINT)").as("code_sum"),
+        expr(
+          """round(aggregate(sequence(0, size(embedding) - 1), CAST(0.0 AS DOUBLE),
+            |  (acc, i) -> acc
+            |    + (CAST(embedding[i] AS DOUBLE) - (lows[i] + CAST(codes[i] AS DOUBLE) / 255.0D * (highs[i] - lows[i])))
+            |    * (CAST(embedding[i] AS DOUBLE) - (lows[i] + CAST(codes[i] AS DOUBLE) / 255.0D * (highs[i] - lows[i])))), 6)""".stripMargin).as("mse"))
+      .orderBy("vec_id")
+  }
+
   /** Multimodal plumbing: documents as opaque binary payloads with typed
     * metadata; features here are deterministic (byte length + md5) so the
     * pipeline is oracle-checkable end-to-end. The decode stage a real
@@ -168,6 +201,7 @@ object LlmVector {
     "llm_knn_label" -> llmKnnLabel,
     "llm_embed_neardup" -> llmEmbedNeardup,
     "llm_ann_ivf" -> llmAnnIvf,
+    "llm_embed_quantize" -> llmEmbedQuantize,
     "llm_multimodal_features" -> llmMultimodalFeatures,
   )
 
@@ -263,6 +297,27 @@ object LlmVector {
          |    row_number() OVER (PARTITION BY a ORDER BY cos DESC, b ASC) AS rank
          |  FROM cand)
          |WHERE rank <= 5 ORDER BY a, rank""".stripMargin,
+    "llm_embed_quantize" ->
+      """WITH stats AS (
+        |  SELECT pos, min(CAST(v AS DOUBLE)) AS lo, max(CAST(v AS DOUBLE)) AS hi
+        |  FROM (SELECT unnest(embedding) AS v,
+        |          generate_subscripts(embedding, 1) AS pos FROM embeddings)
+        |  GROUP BY pos),
+        |b AS (SELECT list(lo ORDER BY pos) AS lows, list(hi ORDER BY pos) AS highs
+        |      FROM stats),
+        |q AS (
+        |  SELECT vec_id, embedding, lows, highs,
+        |    list_transform(generate_series(1, len(embedding)),
+        |      i -> CASE WHEN highs[i] = lows[i] THEN CAST(0 AS BIGINT)
+        |        ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - lows[i])
+        |          / (highs[i] - lows[i]) * 255.0 + 0.5) AS BIGINT) END) AS codes
+        |  FROM embeddings CROSS JOIN b)
+        |SELECT vec_id,
+        |  CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+        |  round(list_aggregate(list_transform(generate_series(1, len(embedding)),
+        |    i -> (CAST(embedding[i] AS DOUBLE) - (lows[i] + CAST(codes[i] AS DOUBLE) / 255.0 * (highs[i] - lows[i])))
+        |       * (CAST(embedding[i] AS DOUBLE) - (lows[i] + CAST(codes[i] AS DOUBLE) / 255.0 * (highs[i] - lows[i])))), 'sum'), 6) AS mse
+        |FROM q ORDER BY vec_id""".stripMargin,
     "llm_multimodal_features" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS payload_md5, lang AS meta_lang
