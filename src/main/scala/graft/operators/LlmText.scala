@@ -310,6 +310,22 @@ object LlmText {
         ceil(col("n_chars").cast("double") / 4.0).cast("long").as("est_bpe"))
       .orderBy("doc_id")
 
+  /** Deterministic content-hash sampling — reproducible train/eval splits:
+    * a doc joins the sample iff md5(normalized text) < a hex threshold
+    * ('1a' ≈ 26/256 ≈ 10.2% of the hash space), so membership is stable
+    * across runs, engines, partitionings, and cluster sizes — no rand(),
+    * no row-order dependence — and identical duplicates land on the same
+    * side of the split (no train/eval leakage). Per-lang rate verifies the
+    * sample is unbiased across strata. */
+  def llmDocSample(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .withColumn("in_sample", md5(col("norm")) < lit("1a"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(col("in_sample")).as("n_sampled"))
+      .withColumn("rate", round(col("n_sampled").cast("double") / col("n_docs"), 4))
+      .orderBy("lang")
+
   /** Content fingerprint: md5 of normalized text (identical across engines). */
   def llmFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
@@ -375,6 +391,7 @@ object LlmText {
     "llm_quality_score" -> llmQualityScore,
     "llm_token_count" -> llmTokenCount,
     "llm_fingerprint" -> llmFingerprint,
+    "llm_doc_sample" -> llmDocSample,
     "llm_simhash" -> llmSimhash,
   )
 
@@ -533,6 +550,12 @@ object LlmText {
     "llm_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_doc_sample" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN md5(lower(trim(text))) < '1a' THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  round(CAST(sum(CASE WHEN md5(lower(trim(text))) < '1a' THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 4) AS rate
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // llm_simhash: engine-specific 64-bit hash — spec-checked, no oracle.
   )
 }

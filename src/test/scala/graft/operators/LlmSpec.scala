@@ -65,6 +65,13 @@ class LlmSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)), "distinct doc must not be a candidate")
   }
 
+  test("near-dup clustering: {1,2} form one component, 3 and 4 stay singletons") {
+    // token jaccard(1,2) ≈ 47/49 ≥ 0.5; docs 3/4 share no tokens with anyone
+    val sizes = LlmText.llmDedupCluster(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(1L -> 2L, 3L -> 1L, 4L -> 1L), s"got $sizes")
+  }
+
   test("IVF ANN achieves reasonable recall vs brute-force top-5") {
     val brute = LlmVector.llmCosineTopk(spark, sf001).select("a", "nn").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
