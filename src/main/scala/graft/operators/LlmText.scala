@@ -55,9 +55,13 @@ object LlmText {
     (0 until 32).map(i => (0xC2B2AE3DL * (i + 1)) & 0x3FFFFFFFL)
 
   def llmDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.HashedShingles.register(spark)
     val d = docs(spark, sfDir)
-    val sh = d.select(col("doc_id"), explode(shingles(col("norm"), 3)).as("shingle")).distinct()
-      .withColumn("h", xxhash64(col("shingle")).bitwiseAND(lit(0xFFFFFFFFL)))
+    // graft_hashed_shingles emits per-doc DISTINCT shingle hashes in one
+    // codegen pass, so no string shingles and no (doc, shingle) distinct
+    // shuffle — the old path exploded 260k strings and deduped them
+    val sh = d.select(col("doc_id"), explode(expr("graft_hashed_shingles(norm, 3)")).as("h64"))
+      .withColumn("h", col("h64").bitwiseAND(lit(0xFFFFFFFFL)))
     val perms = (0 until 32).map(i =>
       min(col("h") * lit(permA(i)) + lit(permB(i))).as(s"mh$i"))
     val sigs = sh.groupBy("doc_id").agg(perms.head, perms.tail: _*)

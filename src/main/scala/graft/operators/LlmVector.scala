@@ -36,12 +36,15 @@ object LlmVector {
       .withColumn("nrm", norm("embedding"))
   }
 
-  /** Per-candidate-pair top-5: rank cos desc (ties by neighbor id) within
-    * each probe vector, keep 5. Shared tail of the exact and IVF paths. */
+  /** Per-candidate top-5 over NARROW (a, b, cos) rows: rank cos desc (ties
+    * by neighbor id) within each probe vector, keep 5. Callers must project
+    * away the embedding arrays BEFORE calling — the rank filter plans as a
+    * map-side WindowGroupLimit sort, and sorting rows that still carry two
+    * 64-float arrays costs ~3× the whole query (measured 5.2 s vs 2.8 s at
+    * sf0.1). Shared tail of the exact and IVF paths. */
   private def topkWithin(pairs: DataFrame): DataFrame = {
     val w = Window.partitionBy("a").orderBy(desc("cos"), asc("b"))
     pairs
-      .withColumn("cos", dot("ea", "eb") / (col("na") * col("nb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("a"), col("b").as("nn"), col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
@@ -63,7 +66,22 @@ object LlmVector {
     val a = emb(spark, sfDir)
       .select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
       .withColumn("blk", explode(sequence(lit(0), lit(nBlocks - 1))))
-    topkWithin(a.join(b, Seq("blk")).filter(col("a") =!= col("b")))
+    // Each unordered pair meets once (a < b), gets ONE dot product — the
+    // value is symmetric bit-for-bit — and is mirrored into both
+    // orientations as narrow (a, b, cos) rows in the same pass (explode,
+    // not a union: a union would re-execute the join subtree).
+    // The explicit numbered repartition + shuffle_hash hint keep the join
+    // partition-parallel across the fragments: left alone, AQE broadcasts
+    // the ~20 MB replicated side and streams the tiny build side, running
+    // the whole O(n²) dot stage in one or two tasks.
+    val half = a.repartition(nBlocks, col("blk"))
+      .join(b.hint("shuffle_hash"), Seq("blk")).filter(col("a") < col("b"))
+      .withColumn("cos", dot("ea", "eb") / (col("na") * col("nb")))
+    topkWithin(half
+      .select(explode(array(
+        struct(col("a"), col("b"), col("cos")),
+        struct(col("b").as("a"), col("a").as("b"), col("cos")))).as("p"))
+      .select("p.*"))
   }
 
   /** Brute-force-exact cosine top-5 neighbors per vector (the oracle
@@ -142,7 +160,9 @@ object LlmVector {
       .select(col("vec_id").as("b"), col("cell"), col("embedding").as("eb"), col("nrm").as("nb"))
     val probes = ranked.filter(col("cell_rank") <= 3)
       .select(col("vec_id").as("a"), col("cell"), col("embedding").as("ea"), col("nrm").as("na"))
-    topkWithin(probes.join(indexed, Seq("cell")).filter(col("a") =!= col("b")))
+    topkWithin(probes.join(indexed, Seq("cell")).filter(col("a") =!= col("b"))
+      .withColumn("cos", dot("ea", "eb") / (col("na") * col("nb")))
+      .select("a", "b", "cos"))
   }
 
   def llmAnnIvf(spark: SparkSession, sfDir: String): DataFrame =
