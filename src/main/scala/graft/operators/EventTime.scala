@@ -59,11 +59,34 @@ object EventTime {
       .dropDuplicates("user_id", "event_type", "minute_bucket")
       .orderBy("user_id", "event_type", "minute_bucket")
 
+  /** Ordered conversion funnel per user: first view, then the first click
+    * strictly after it, then the first purchase strictly after that click.
+    * Three conditional min-aggregations chained through equi-joins on
+    * user_id — each stage is a partial-agg + one shuffle on the same key,
+    * so the whole funnel co-partitions by user at any scale. NULL stages
+    * mean the user never converted past the previous one. */
+  def evtFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select("user_id", "event_type", "ts_ntz")
+    val tView = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_ntz").as("t_view"))
+    val tClick = ev.filter(col("event_type") === "click")
+      .join(tView, "user_id").filter(col("ts_ntz") > col("t_view"))
+      .groupBy("user_id").agg(min("ts_ntz").as("t_click"))
+    val tPurchase = ev.filter(col("event_type") === "purchase")
+      .join(tClick, "user_id").filter(col("ts_ntz") > col("t_click"))
+      .groupBy("user_id").agg(min("ts_ntz").as("t_purchase"))
+    tView.join(tClick, Seq("user_id"), "left")
+      .join(tPurchase, Seq("user_id"), "left")
+      .select("user_id", "t_view", "t_click", "t_purchase")
+      .orderBy("user_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_tumbling" -> evtTumbling,
     "evt_sliding" -> evtSliding,
     "evt_session" -> evtSession,
     "evt_dedup" -> evtDedup,
+    "evt_funnel" -> evtFunnel,
   )
 
   val oracles: Map[String, String] = Map(
@@ -92,5 +115,17 @@ object EventTime {
       """SELECT DISTINCT user_id, event_type,
         |  date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute_bucket
         |FROM events ORDER BY user_id, event_type, minute_bucket""".stripMargin,
+    "evt_funnel" ->
+      """WITH t AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS t_view FROM t
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT t.user_id, min(t.ts) AS t_click FROM t JOIN v ON t.user_id = v.user_id
+        |      WHERE t.event_type = 'click' AND t.ts > v.t_view GROUP BY t.user_id),
+        |p AS (SELECT t.user_id, min(t.ts) AS t_purchase FROM t JOIN c ON t.user_id = c.user_id
+        |      WHERE t.event_type = 'purchase' AND t.ts > c.t_click GROUP BY t.user_id)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
   )
 }

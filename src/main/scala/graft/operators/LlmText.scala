@@ -159,7 +159,11 @@ object LlmText {
     * singletons included. */
   def llmDedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = jaccardPairsCore(spark, sfDir).select("a", "b")
+    // materialize the edge list once — every propagation round joins it, and
+    // without the checkpoint each round re-runs the whole pair pipeline
+    // (and the union would run it twice per round)
     val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
+      .localCheckpoint()
     val nodes = Tables.documents(spark, sfDir).select(col("doc_id").as("id"))
     var labels = nodes.withColumn("label", col("id")).localCheckpoint()
     var changed = 1L
@@ -240,6 +244,32 @@ object LlmText {
       .groupBy("bigram").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("bigram"))
       .limit(20)
+  }
+
+  /** Corpus bigram language-model scoring — perplexity-style quality
+    * filtering for training data: a document whose word transitions are
+    * improbable under the corpus's own add-1-smoothed bigram model is an
+    * outlier candidate. p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V) with
+    * unigram-occurrence history counts; per-doc mean log-prob. The bigram
+    * and unigram count tables are corpus-vocabulary sized and broadcast;
+    * everything else is one shuffle per aggregation. */
+  def llmBigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = docs(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("norm"), " ")))
+      .toDF("doc_id", "pos", "w")
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val big = tok.withColumn("w2", lead("w", 1).over(win)).filter(col("w2").isNotNull)
+      .select("doc_id", "w", "w2")
+    val uniC = tok.groupBy("w").agg(count(lit(1)).as("c1"))
+    val bigC = big.groupBy("w", "w2").agg(count(lit(1)).as("c2"))
+    val vocab = tok.agg(countDistinct("w").as("v"))
+    val scored = big.join(broadcast(bigC), Seq("w", "w2")).join(broadcast(uniC), Seq("w"))
+    Fanout.broadcastAll(scored, vocab, col("w"), col("v"))
+      .withColumn("lp", log((col("c2") + 1.0) / (col("c1") + col("v"))))
+      .groupBy("doc_id")
+      // 4-decimal margin: the per-doc mean folds shuffle-order-dependent sums
+      .agg(count(lit(1)).as("n_bigrams"), round(avg("lp"), 4).as("avg_lp"))
+      .orderBy("doc_id")
   }
 
   /** Per-lang corpus profile: docs, avg chars, avg tokens, vocab size. */
@@ -387,6 +417,7 @@ object LlmText {
     "llm_dedup_cluster" -> llmDedupCluster,
     "llm_ngram_jaccard" -> llmNgramJaccard,
     "llm_tfidf" -> llmTfidf,
+    "llm_bigram_lm" -> llmBigramLm,
     "llm_ngrams" -> llmNgrams,
     "llm_text_stats" -> llmTextStats,
     "llm_sentiment_lexicon" -> llmSentimentLexicon,
@@ -489,6 +520,24 @@ object LlmText {
         |  FROM tf JOIN df USING (token) CROSS JOIN n)
         |SELECT doc_id, token AS top_term, tfidf FROM scored WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+    "llm_bigram_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w,
+        |    generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, w, w2 FROM (
+        |    SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |    FROM tok) WHERE w2 IS NOT NULL),
+        |uni AS (SELECT w, count(*) AS c1 FROM tok GROUP BY w),
+        |bc AS (SELECT w, w2, count(*) AS c2 FROM big GROUP BY w, w2),
+        |v AS (SELECT count(DISTINCT w) AS v FROM tok)
+        |SELECT big.doc_id, count(*) AS n_bigrams,
+        |  round(avg(ln((bc.c2 + 1.0) / (uni.c1 + v.v))), 4) AS avg_lp
+        |FROM big JOIN bc ON big.w = bc.w AND big.w2 = bc.w2
+        |         JOIN uni ON big.w = uni.w
+        |         CROSS JOIN v
+        |GROUP BY big.doc_id ORDER BY big.doc_id""".stripMargin,
     "llm_ngrams" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token,
