@@ -44,6 +44,9 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // failed queries are excluded from BOTH the total and the per-query maps
+    // — a time-to-exception next to healthy timings would read as a speedup
+    // in round-over-round triage; they are only listed under "failed"
     val ok = results.filterNot { case (k, _) => failures.contains(k) }
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     def qsJson(m: Iterable[(String, Double)]): String =
@@ -52,10 +55,10 @@ object Bench {
       }.mkString("{", ",", "}")
     val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"queries":${qsJson(results)},"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"queries":${qsJson(ok)},"failed":$failed,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val head = qsJson(headline.flatMap(q => results.get(q).map(q -> _)))
+    val head = qsJson(headline.flatMap(q => ok.get(q).map(q -> _)))
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"queries":$head,"failed":$failed,"sf":"$sfDir","detail":"$detailPath"}""")
     spark.stop()
   }

@@ -30,7 +30,13 @@ object Fanout {
     * the non-foldable constant key. `seedBig` / `seedSmall` must be columns
     * of the respective sides. */
   def broadcastAll(big: DataFrame, small: DataFrame, seedBig: Column, seedSmall: Column): DataFrame = {
-    val k = "__graft_fan"
+    // collision-proof key name: withColumn would silently REPLACE (and drop
+    // would then remove) a pre-existing column of the same name
+    val k = {
+      var c = "__graft_fan"
+      while (big.columns.contains(c) || small.columns.contains(c)) c += "_"
+      c
+    }
     big.withColumn(k, fanKey(seedBig))
       .join(broadcast(small.withColumn(k, fanKey(seedSmall))), Seq(k))
       .drop(k)

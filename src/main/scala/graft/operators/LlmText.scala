@@ -168,7 +168,11 @@ object LlmText {
     var labels = nodes.withColumn("label", col("id")).localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    // No silent early stop: min-label propagation strictly decreases labels
+    // so it always terminates in ≤ diameter rounds; the cap only guards a
+    // logic bug and FAILS LOUDLY instead of returning split components.
+    val maxIter = 1000
+    while (changed > 0 && iter < maxIter) {
       val nbr = edges.join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
         .groupBy("src").agg(min("label").as("nbr_min"))
       val next = labels.join(nbr, labels("id") === nbr("src"), "left")
@@ -179,6 +183,8 @@ object LlmText {
       labels = next.select(col("id"), col("next_label").as("label"))
       iter += 1
     }
+    require(changed == 0,
+      s"llmDedupCluster did not converge within $maxIter rounds — component diameter bug?")
     labels.groupBy(col("label").as("cluster")).agg(count(lit(1)).as("csize"))
       .orderBy("cluster")
   }

@@ -126,17 +126,19 @@ object LlmVector {
   }
 
   /** IVF cell index: coarse cells = per-label centroids (k-means with known
-    * assignments), components rounded to 6 decimals so both engines agree
-    * bit-for-bit despite sum-order drift in the avg. Every vector is scored
-    * against all k centroids via Fanout.broadcastAll — a broadcast HASH
-    * join (k rows — dimension-table sized), never a nested-loop cross join
-    * — then ranked per vector. */
+    * assignments), components rounded to 4 decimals — the repo's margin for
+    * shuffle-order-dependent double sums — so both engines land on the same
+    * value despite sum-order drift in the avg (6 decimals would sit ~100×
+    * closer to the drift scale). Every vector is scored against all k
+    * centroids via Fanout.broadcastAll — a broadcast HASH join (k rows —
+    * dimension-table sized), never a nested-loop cross join — then ranked
+    * per vector. */
   private def cellRanked(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
     val centroids = e
       .select(col("label").as("cell"), posexplode(col("embedding")))
       .toDF("cell", "pos", "v")
-      .groupBy("cell", "pos").agg(round(avg("v"), 6).as("cv"))
+      .groupBy("cell", "pos").agg(round(avg("v"), 4).as("cv"))
       .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pairs"))
       .select(col("cell"), transform(col("pairs"), p => p.getField("cv").cast("float")).as("centroid"))
       // norm once per centroid BEFORE the broadcast, not once per (vector, cell) pair
@@ -197,7 +199,8 @@ object LlmVector {
           """round(aggregate(sequence(0, size(embedding) - 1), CAST(0.0 AS DOUBLE),
             |  (acc, i) -> acc
             |    + (CAST(embedding[i] AS DOUBLE) - (lows[i] + CAST(codes[i] AS DOUBLE) / 255.0D * (highs[i] - lows[i])))
-            |    * (CAST(embedding[i] AS DOUBLE) - (lows[i] + CAST(codes[i] AS DOUBLE) / 255.0D * (highs[i] - lows[i])))), 6)""".stripMargin).as("mse"))
+            |    * (CAST(embedding[i] AS DOUBLE) - (lows[i] + CAST(codes[i] AS DOUBLE) / 255.0D * (highs[i] - lows[i]))))
+            |  / size(embedding), 6)""".stripMargin).as("mse"))
       .orderBy("vec_id")
   }
 
@@ -244,7 +247,7 @@ object LlmVector {
       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
       |  FROM embeddings),
       |cpos AS (
-      |  SELECT label AS cell, pos, round(avg(CAST(v AS DOUBLE)), 6) AS cv
+      |  SELECT label AS cell, pos, round(avg(CAST(v AS DOUBLE)), 4) AS cv
       |  FROM (SELECT label, unnest(embedding) AS v,
       |          generate_subscripts(embedding, 1) AS pos FROM embeddings)
       |  GROUP BY label, pos),
@@ -336,7 +339,8 @@ object LlmVector {
         |  CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
         |  round(list_aggregate(list_transform(generate_series(1, len(embedding)),
         |    i -> (CAST(embedding[i] AS DOUBLE) - (lows[i] + CAST(codes[i] AS DOUBLE) / 255.0 * (highs[i] - lows[i])))
-        |       * (CAST(embedding[i] AS DOUBLE) - (lows[i] + CAST(codes[i] AS DOUBLE) / 255.0 * (highs[i] - lows[i])))), 'sum'), 6) AS mse
+        |       * (CAST(embedding[i] AS DOUBLE) - (lows[i] + CAST(codes[i] AS DOUBLE) / 255.0 * (highs[i] - lows[i])))), 'sum')
+        |    / len(embedding), 6) AS mse
         |FROM q ORDER BY vec_id""".stripMargin,
     "llm_multimodal_features" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,

@@ -37,7 +37,6 @@ object ProfileCosine {
       .withColumn("cos", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5).count())
     // mirror variant: dot once per unordered pair, duplicate narrow rows
-    def half = a.filter(col("a") < col("b")) // wrong: a<b needs join cols; do below
     val pairs = a.join(b, Seq("blk")).filter(col("a") < col("b"))
       .withColumn("cos", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
       .select("a", "b", "cos")
