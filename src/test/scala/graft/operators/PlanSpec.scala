@@ -95,6 +95,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("exact cosine pair join stays a shuffled hash join, not a broadcast") {
+    // the whole point of the numbered repartition + shuffle_hash hint: left
+    // alone, AQE broadcasts the ~20 MB replicated fragment side and the
+    // O(n²) dot stage collapses to one or two tasks
+    val plan = formatted(LlmVector.llmCosineTopk(spark, sf001))
+    assert(plan.contains("ShuffledHashJoin"),
+      s"fragment-replicate join lost its shuffle-parallel shape:\n$plan")
+  }
+
+  test("bigram LM broadcasts its vocabulary-sized count tables") {
+    val plan = formatted(LlmText.llmBigramLm(spark, sf001))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 3, s"expected bigram/unigram/vocab broadcasts, saw $broadcasts")
+  }
+
   test("no declared query plans an accidental cross product") {
     // Intentional pairwise/cross plan: only the bounded 25×5 cross-join grid.
     // The similarity-search queries are covered (un-whitelisted) above.
