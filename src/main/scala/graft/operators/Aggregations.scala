@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -210,8 +211,22 @@ object Aggregations {
       .orderBy("r_name")
   }
 
+  /** Deterministic statistical mode: most frequent l_quantity per
+    * returnflag, ties broken by the smallest value — the built-in `mode`
+    * aggregate tie-breaks arbitrarily and differently across engines.
+    * Count aggregation is partial; the per-group argmax is a 1-row window. */
+  def aggMode(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag", "l_quantity").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("l_returnflag").orderBy(desc("cnt"), asc("l_quantity"))
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt").as("mode_cnt"))
+      .orderBy("l_returnflag")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_pricing_summary" -> aggPricingSummary,
+    "agg_mode" -> aggMode,
     "agg_approx_percentile" -> aggApproxPercentile,
     "agg_bitwise" -> aggBitwise,
     "agg_conditional" -> aggConditional,
@@ -230,6 +245,13 @@ object Aggregations {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_mode" ->
+      """SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_cnt FROM (
+        |  SELECT l_returnflag, l_quantity, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY count(*) DESC, l_quantity ASC) AS rn
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity) WHERE rn = 1
+        |ORDER BY l_returnflag""".stripMargin,
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -112,8 +112,31 @@ object Scans {
       .orderBy("o_orderstatus")
   }
 
+  /** Column-level data profiling over the numeric lineitem measures — the
+    * validation pass every large-scale ingest runs (row counts, null
+    * counts, ranges, distincts, means) before data is trusted. One
+    * aggregate job per column unioned into a tidy (column, stats) table;
+    * each aggregate is partial (map-side) and min/max/count are exact, so
+    * only the mean needs the rounding margin. */
+  def scanProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    cols.map { c =>
+      li.agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col(c).isNull, 1)).as("n_null"),
+        min(col(c)).as("min_v"),
+        max(col(c)).as("max_v"),
+        countDistinct(col(c)).as("n_distinct"),
+        round(avg(col(c)), 4).as("avg_v"))
+        .withColumn("column", lit(c))
+        .select("column", "n_rows", "n_null", "min_v", "max_v", "n_distinct", "avg_v")
+    }.reduce(_ union _).orderBy("column")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_lineitem" -> scanLineitem,
+    "scan_profile" -> scanProfile,
     "scan_pruned" -> scanPruned,
     "scan_events_nanos" -> scanEventsNanos,
     "source_csv_roundtrip" -> sourceCsvRoundtrip,
@@ -129,6 +152,14 @@ object Scans {
         |  l_quantity, l_extendedprice, l_returnflag, l_linestatus""".stripMargin,
     "scan_pruned" ->
       "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_quantity",
+    "scan_profile" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  min($c) AS min_v, max($c) AS max_v,
+           |  count(DISTINCT $c) AS n_distinct, round(avg($c), 4) AS avg_v
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),
     "scan_events_nanos" ->
       """SELECT event_id, epoch_us(ts) AS epoch_us, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
