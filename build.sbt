@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's one-line JSON from captured sbt output. The
+// default LoggedOutput strategy prefixes every forked-run line with
+// "[info] ", which breaks strict JSON parsing (BENCH_r02 "parsed": null).
+// StdoutOutput passes the child's stdout/stderr through verbatim.
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
