@@ -133,21 +133,41 @@ object LlmVector {
     * centroids via Fanout.broadcastAll — a broadcast HASH join (k rows —
     * dimension-table sized), never a nested-loop cross join — then ranked
     * per vector. */
+  /** Embedding dimensionality — schema-fixed (embeddings.embedding is
+    * list<float>[64] at every scale factor; in a real deployment the dim is
+    * part of the table contract). Keeping it a compile-time constant lets
+    * the centroid aggregate run as ONE codegen'd groupBy with Dim sum
+    * columns instead of a posexplode → (cell,pos) agg → collect_list →
+    * sort → transform pipeline: same values (avg partials are (sum, count)
+    * pairs either way), 2 fewer shuffles, and ~half the one-time codegen
+    * cost that dominated this query's bench time. */
+  private val Dim = 64
+
   private def cellRanked(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
+    val sums = (0 until Dim).map(i =>
+      sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i"))
     val centroids = e
-      .select(col("label").as("cell"), posexplode(col("embedding")))
-      .toDF("cell", "pos", "v")
-      .groupBy("cell", "pos").agg(round(avg("v"), 4).as("cv"))
-      .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pairs"))
-      .select(col("cell"), transform(col("pairs"), p => p.getField("cv").cast("float")).as("centroid"))
+      .groupBy(col("label").as("cell"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("cell"), array((0 until Dim).map(i =>
+        round(col(s"s$i") / col("n"), 4).cast("float")): _*).as("centroid"))
       // norm once per centroid BEFORE the broadcast, not once per (vector, cell) pair
       .withColumn("centroid_nrm", norm("centroid"))
     val scored = Fanout.broadcastAll(e, centroids, col("vec_id"), col("cell"))
       .withColumn("dist2cell", dot("embedding", "centroid") /
         (col("nrm") * col("centroid_nrm")))
     val wCell = Window.partitionBy("vec_id").orderBy(desc("dist2cell"), asc("cell"))
-    scored.withColumn("cell_rank", row_number().over(wCell))
+    // Cached: the ranked cell index is consumed twice per query (rank-1 index
+    // side + rank≤3 probe side) and by TWO declared queries (llm_ann_ivf,
+    // llm_knn_label) in the same session. Without the cache each consumer
+    // re-plans and re-codegens the whole centroid pipeline — ~5 s of one-time
+    // Janino work per cold query vs ~1.8 s warm (measured at sf0.1). The
+    // cache entry is canonical-plan-keyed, so all consumers share it; the
+    // index is k·n rows of narrow columns + one embedding copy — the same
+    // thing a real IVF deployment persists. Lazy (PlanSpec can still build
+    // plans without triggering jobs).
+    scored.withColumn("cell_rank", row_number().over(wCell)).cache()
   }
 
   /** IVF-style ANN candidates → top-5: each vector indexes into its nearest
@@ -162,7 +182,22 @@ object LlmVector {
       .select(col("vec_id").as("b"), col("cell"), col("embedding").as("eb"), col("nrm").as("nb"))
     val probes = ranked.filter(col("cell_rank") <= 3)
       .select(col("vec_id").as("a"), col("cell"), col("embedding").as("ea"), col("nrm").as("na"))
-    topkWithin(probes.join(indexed, Seq("cell")).filter(col("a") =!= col("b"))
+    // The cell id alone has only k distinct values, and the shuffled bytes
+    // are small enough that AQE coalesces the probe⋈index join to ONE
+    // partition — which serializes every candidate dot product into a
+    // single task (measured: a 2.4 s single-task stage, the bulk of this
+    // query's time). Sub-fragment the join like cosineTopkCore: each
+    // cell's index shard is replicated over nFrag sub-buckets, probes
+    // hash into one of them, and the numbered repartition + shuffle_hash
+    // hint pin the dot-product stage partition-parallel. Same candidate
+    // set, same values — only the physical distribution changes.
+    val nFrag = 8
+    val indexedF = indexed.withColumn("frag", explode(sequence(lit(0), lit(nFrag - 1))))
+    val probesF = probes.withColumn("frag", pmod(hash(col("a")), lit(nFrag)))
+    val parts = spark.sessionState.conf.numShufflePartitions
+    topkWithin(probesF.repartition(parts, col("cell"), col("frag"))
+      .join(indexedF.hint("shuffle_hash"), Seq("cell", "frag"))
+      .filter(col("a") =!= col("b"))
       .withColumn("cos", dot("ea", "eb") / (col("na") * col("nb")))
       .select("a", "b", "cos"))
   }

@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+
+/** Per-job / per-stage wall-clock breakdown of a single declared query's
+  * FIRST (cold) execution — for finding where a query's one-time cost
+  * lives (driver gaps between jobs show up as the difference between the
+  * job-time sum and the end-to-end time).
+  * Usage: runMain graft.tools.ProfileJobs <query> [sfDir]
+  */
+object ProfileJobs {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().collect()
+
+    val jobStart = mutable.Map[Int, Long]()
+    val lines = mutable.ListBuffer[String]()
+    var lastEnd = 0L
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val gap = if (lastEnd > 0) js.time - lastEnd else 0L
+        jobStart(js.jobId) = js.time
+        lines += f"job ${js.jobId}%3d START (driver gap ${gap}%5d ms) stages=${js.stageInfos.map(_.name.takeWhile(_ != '\n')).mkString(" | ").take(120)}"
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        val dur = je.time - jobStart.getOrElse(je.jobId, je.time)
+        lastEnd = je.time
+        lines += f"job ${je.jobId}%3d END   ${dur}%6d ms"
+      }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val dur = for { s <- si.submissionTime; c <- si.completionTime } yield c - s
+        lines += f"    stage ${si.stageId}%3d ${dur.getOrElse(-1L)}%6d ms tasks=${si.numTasks}%4d ${si.name.takeWhile(_ != '\n').take(90)}"
+      }
+    })
+    val t0 = System.nanoTime()
+    val n = graft.SparkEntry.queries(args(0))(spark, sfDir).count()
+    val total = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(1500) // let the listener bus drain
+    lines.foreach(println)
+    println(f"PROFILE ${args(0)} total $total%.2f s ($n rows)")
+    spark.stop()
+  }
+}
