@@ -81,12 +81,49 @@ object EventTime {
       .orderBy("user_id")
   }
 
+  /** Cohort retention matrix: users grouped by their first active day
+    * (cohort), counted per day-offset they return on. Classic growth/
+    * retention analysis. Two aggregations and a join, all keyed on user_id
+    * or (cohort, offset) — partial-agg + shuffle each, and the activity
+    * relation is pre-deduplicated to (user, day) so the join fan-out is
+    * bounded by active days per user, not raw event volume. Counts are
+    * integers — exact parity. */
+  def evtRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val act = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts_ntz")).as("day")).distinct()
+    val coh = act.groupBy("user_id").agg(min("day").as("cohort"))
+    act.join(coh, "user_id")
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort")).cast("long").as("offset_days"))
+      .agg(countDistinct("user_id").as("users"))
+      .orderBy("cohort", "offset_days")
+  }
+
+  /** Daily-revenue z-score anomalies per event_type: days whose (2-decimal
+    * pinned) daily total deviates > 2 sample standard deviations from the
+    * type's own series. The window is per type over the ALREADY aggregated
+    * daily series (tiny at any corpus size); the raw-event pass is one
+    * partial-agg shuffle. z is a ratio of small-count double sums — rounded
+    * at 4, and the >2 filter is applied to the ROUNDED value on both
+    * engines so the boundary can't flip between them. */
+  def evtAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts_ntz")).as("day"))
+      .agg(round(sum("value"), 2).as("rev"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    daily
+      .withColumn("z", round((col("rev") - avg("rev").over(w)) / stddev_samp("rev").over(w), 4))
+      .filter(abs(col("z")) > 2)
+      .orderBy("event_type", "day")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_tumbling" -> evtTumbling,
     "evt_sliding" -> evtSliding,
     "evt_session" -> evtSession,
     "evt_dedup" -> evtDedup,
     "evt_funnel" -> evtFunnel,
+    "evt_retention" -> evtRetention,
+    "evt_anomaly" -> evtAnomaly,
   )
 
   val oracles: Map[String, String] = Map(
@@ -127,5 +164,23 @@ object EventTime {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |       LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+    "evt_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |coh AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY user_id)
+        |SELECT cohort, CAST(date_diff('day', cohort, day) AS BIGINT) AS offset_days,
+        |  count(DISTINCT act.user_id) AS users
+        |FROM act JOIN coh ON act.user_id = coh.user_id
+        |GROUP BY cohort, offset_days ORDER BY cohort, offset_days""".stripMargin,
+    "evt_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    round(sum(value), 2) AS rev
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, rev,
+        |  round((rev - avg(rev) OVER (PARTITION BY event_type))
+        |    / stddev_samp(rev) OVER (PARTITION BY event_type), 4) AS z
+        |FROM daily QUALIFY abs(z) > 2 ORDER BY event_type, day""".stripMargin,
   )
 }

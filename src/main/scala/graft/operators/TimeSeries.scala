@@ -40,9 +40,80 @@ object TimeSeries {
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
+  /** Hourly OHLC bars (the candlestick aggregation) over the event stream:
+    * open/close are the values at the first/last event of the bar under the
+    * total order (epoch_us, event_id) — computed as min/max of a
+    * (time, id, value) struct, whose lexicographic ordering both engines
+    * share, so the whole bar is ONE hash aggregate: partial min/max/sum per
+    * partition, one shuffle on the bar key, no window pass over the raw
+    * stream. open/high/low/close are selected (not summed) values — exact
+    * parity without rounding; only the volume sum needs the 2-decimal
+    * margin. */
+  def tsOhlc(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyed = struct(col("epoch_us").as("e"), col("event_id").as("i"), col("value").as("v"))
+    Tables.events(spark, sfDir)
+      .withColumn("bar", date_trunc("hour", col("ts_ntz")).cast("timestamp_ntz"))
+      .groupBy("bar")
+      .agg(
+        min(keyed).getField("v").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(keyed).getField("v").as("close"),
+        count(lit(1)).as("n"),
+        round(sum("value"), 2).as("volume"))
+      .orderBy("bar")
+  }
+
+  /** EWMA decay factor and window depth for win_ewma. Weights are computed
+    * once here by repeated multiplication and injected into BOTH engines as
+    * shortest-round-trip double literals (Double.toString), so neither side
+    * depends on its own pow() implementation agreeing in the last ulp. */
+  private val EwmaAlpha = 0.3
+  private val EwmaDepth = 20
+  private val ewmaWeights: Seq[Double] =
+    Iterator.iterate(1.0)(_ * (1 - EwmaAlpha)).take(EwmaDepth).toVector
+
+  /** Exponentially weighted moving average of daily revenue — the finance
+    * smoothing staple. The infinite recurrence is truncated to the last
+    * `EwmaDepth` observations and renormalized over the weights actually
+    * present, which turns it into a fixed fan of `lag(rev, i)` terms over
+    * ONE window pass — no recursion, no driver loop. The daily series is
+    * already aggregated (≤ a few thousand rows at any corpus size), so the
+    * single unpartitioned window is a non-issue at scale; the heavy lifting
+    * (the daily aggregation) is a partial-agg shuffle on the date. */
+  def winEwma(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+    val w = Window.orderBy("day")
+    val terms = ewmaWeights.zipWithIndex
+    val num = terms.map { case (wt, i) =>
+      coalesce(lag(col("rev"), i).over(w), lit(0.0)) * lit(wt) }.reduce(_ + _)
+    val den = terms.map { case (wt, i) =>
+      when(lag(col("rev"), i).over(w).isNull, lit(0.0)).otherwise(lit(wt)) }.reduce(_ + _)
+    daily
+      .select(col("day"), col("rev"), round(num / den, 4).as("ewma"))
+      .orderBy("day")
+  }
+
+  private def ewmaOracle: String = {
+    val num = ewmaWeights.zipWithIndex.map { case (wt, i) =>
+      s"coalesce(lag(rev, $i) OVER w, 0) * $wt" }.mkString(" + ")
+    val den = ewmaWeights.zipWithIndex.map { case (wt, i) =>
+      s"CASE WHEN lag(rev, $i) OVER w IS NULL THEN 0 ELSE $wt END" }.mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    round(sum(o_totalprice), 2) AS rev
+       |  FROM orders GROUP BY 1)
+       |SELECT day, rev, round(($num) / ($den), 4) AS ewma
+       |FROM daily WINDOW w AS (ORDER BY day) ORDER BY day""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_gapfill" -> tsGapfill,
     "ts_forward_fill" -> tsForwardFill,
+    "ts_ohlc" -> tsOhlc,
+    "win_ewma" -> winEwma,
   )
 
   val oracles: Map[String, String] = Map(
@@ -66,5 +137,16 @@ object TimeSeries {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp_filled
         |FROM orders
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    // open/close via min/max of a (time, id, value) struct: both engines
+    // order structs lexicographically, and (epoch_us, event_id) is a total
+    // order, so the selected values are exact — no rounding needed.
+    "ts_ohlc" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar,
+        |  (min({'e': epoch_us(ts), 'i': event_id, 'v': value})).v AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  (max({'e': epoch_us(ts), 'i': event_id, 'v': value})).v AS close,
+        |  count(*) AS n, round(sum(value), 2) AS volume
+        |FROM events GROUP BY bar ORDER BY bar""".stripMargin,
+    "win_ewma" -> ewmaOracle,
   )
 }
