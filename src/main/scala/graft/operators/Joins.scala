@@ -147,7 +147,27 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Salted skew join in the declared set: lineitem ⋈ supplier through
+    * Skew.saltedJoin, so the hot-key mitigation ships as a queryable
+    * operator, not just a utility. The salt fans each supplier key over 8
+    * sub-buckets (fact side gets a uniform pseudo-salt, dimension side is
+    * replicated 8×), which changes ONLY physical placement — the joined
+    * multiset, and therefore the aggregate, is salt-invariant, which is
+    * exactly what the oracle's plain join checks. */
+  def joinSkewSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    val supp = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    Skew.saltedJoin(li, supp, "l_suppkey", 8)
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("s_name")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_skew_salted" -> joinSkewSalted,
     "join_inner_hash" -> joinInnerHash,
     "join_broadcast" -> joinBroadcast,
     "join_sort_merge" -> joinSortMerge,
@@ -162,6 +182,11 @@ object Joins {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_skew_salted" ->
+      """SELECT s_name, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
     "join_inner_hash" ->
       """SELECT o_orderpriority,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,

@@ -415,7 +415,95 @@ object LlmText {
       .orderBy("a", "b")
   }
 
+  /** BM25 retrieval scoring (k1 = 1.2, b = 0.75) of the corpus against a
+    * fixed keyword query — the lexical-search side of a training-data
+    * curation stack. tf / df / doc-length / corpus stats are all integer
+    * counts, so every input to the scoring formula is bit-identical across
+    * engines; only the summed score needs the rounding margin. The df table
+    * is query-term sized (broadcast), corpus stats are a broadcast 1-row
+    * aggregate (Fanout — hash join, not a nested loop), and tf/dl are
+    * partial-agg shuffles on doc or token: linear at any corpus size. */
+  def llmBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = Seq("scan", "hash", "agg")
+    val tok = docs(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("norm"), " ")).as("token"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
+    val tf = tok.filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val joined = Fanout.broadcastAll(
+      tf.join(broadcast(df), "token").join(dl, "doc_id"),
+      stats, col("token"), col("n_docs"))
+    val avgdl = col("tot_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    joined
+      .withColumn("term_score", idf * tfNorm)
+      .groupBy("doc_id")
+      .agg(round(sum("term_score"), 4).as("bm25"))
+      .orderBy(desc("bm25"), asc("doc_id"))
+      .limit(20)
+  }
+
+  /** Pointwise mutual information of adjacent-token bigrams (min count 5):
+    * the collocation detector of corpus analysis. pmi =
+    * ln(P(w,w2) / (P(w)·P(w2))) with all probabilities as ratios of
+    * integer counts — numerators are cast to double BEFORE multiplying so
+    * the product cannot overflow a long at real corpus sizes (ANSI mode
+    * would fail loudly, but the double path is also the scale-correct
+    * one). Count tables are vocabulary-sized and broadcast. */
+  def llmPmi(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = docs(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("norm"), " ")))
+      .toDF("doc_id", "pos", "w")
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val big = tok.withColumn("w2", lead("w", 1).over(win))
+      .filter(col("w2").isNotNull).select("w", "w2")
+    val bigC = big.groupBy("w", "w2").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= 5)
+    val uniC = tok.groupBy("w").agg(count(lit(1)).as("c1"))
+    val totals = Fanout.broadcastAll(
+      tok.agg(count(lit(1)).as("t1")), big.agg(count(lit(1)).as("t2")),
+      col("t1"), col("t2"))
+    val scored = bigC
+      .join(broadcast(uniC), Seq("w"))
+      .join(broadcast(uniC.select(col("w").as("w2"), col("c1").as("c1b"))), Seq("w2"))
+    Fanout.broadcastAll(scored, totals, col("w"), col("t1"))
+      .withColumn("pmi", round(log(
+        (col("c2").cast("double") * col("t1") * col("t1")) /
+          (col("t2").cast("double") * col("c1") * col("c1b"))), 4))
+      .select(col("w"), col("w2"), col("c2"), col("pmi"))
+      .orderBy(desc("pmi"), asc("w"), asc("w2"))
+      .limit(20)
+  }
+
+  /** Sequence packing — assigning documents to fixed-token-budget context
+    * windows, the step that turns a curated corpus into training batches.
+    * Greedy sequential packing per lang: a doc belongs to the pack its
+    * START offset (running token sum minus own length) falls in, i.e.
+    * offset DIV budget — a single running-sum window over the per-lang
+    * stream, then an integer aggregation: every value is an integer, so
+    * parity is exact. At scale the per-lang cumsum is a range-partitioned
+    * linear scan (no pairwise work, one shuffle on lang). */
+  def llmContextPack(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 256
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"), size(split(col("norm"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tok) DIV $budget"))
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+      .orderBy("lang", "pack_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_bm25" -> llmBm25,
+    "llm_pmi" -> llmPmi,
+    "llm_context_pack" -> llmContextPack,
     "llm_simhash_neardup" -> llmSimhashNeardup,
     "llm_dedup_exact" -> llmDedupExact,
     "llm_dedup_minhash" -> llmDedupMinhash,
@@ -437,6 +525,54 @@ object LlmText {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |       WHERE token IN ('scan', 'hash', 'agg') GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id, round(sum(
+        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |    * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(tot_dl AS DOUBLE) / n_docs)))
+        |  ), 4) AS bm25
+        |FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+        |GROUP BY doc_id ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "llm_pmi" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w,
+        |    generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos
+        |  FROM documents),
+        |big AS (
+        |  SELECT w, w2 FROM (
+        |    SELECT w, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |    FROM tok) WHERE w2 IS NOT NULL),
+        |bigc AS (SELECT w, w2, count(*) AS c2 FROM big GROUP BY 1, 2 HAVING count(*) >= 5),
+        |unic AS (SELECT w, count(*) AS c1 FROM tok GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM tok) AS t1, (SELECT count(*) FROM big) AS t2)
+        |SELECT bigc.w, bigc.w2, c2,
+        |  round(ln((CAST(c2 AS DOUBLE) * t1 * t1)
+        |    / (CAST(t2 AS DOUBLE) * ua.c1 * ub.c1)), 4) AS pmi
+        |FROM bigc
+        |JOIN unic ua ON bigc.w = ua.w
+        |JOIN unic ub ON bigc.w2 = ub.w
+        |CROSS JOIN tot
+        |ORDER BY pmi DESC, bigc.w ASC, bigc.w2 ASC LIMIT 20""".stripMargin,
+    "llm_context_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM d)
+        |SELECT lang, (cum - n_tok) // 256 AS pack_id,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens
+        |FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
     "llm_dedup_exact" ->
       """SELECT lang, count(*) AS survivors FROM (
         |  SELECT lang, doc_id,
