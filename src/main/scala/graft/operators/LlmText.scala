@@ -164,7 +164,13 @@ object LlmText {
     // (and the union would run it twice per round)
     val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
       .localCheckpoint()
-    val nodes = Tables.documents(spark, sfDir).select(col("doc_id").as("id"))
+    // Only nodes that appear in an edge can ever change label — propagate
+    // over those alone (near-dup graphs are sparse: a tiny fraction of the
+    // corpus at any scale), and add the untouched documents back as
+    // size-1 singleton clusters analytically afterwards. Identical output,
+    // and each round's join/aggregate moves edge-endpoint rows instead of
+    // the whole corpus.
+    val nodes = edges.select(col("src").as("id")).distinct()
     var labels = nodes.withColumn("label", col("id")).localCheckpoint()
     var changed = 1L
     var iter = 0
@@ -185,8 +191,11 @@ object LlmText {
     }
     require(changed == 0,
       s"llmDedupCluster did not converge within $maxIter rounds — component diameter bug?")
-    labels.groupBy(col("label").as("cluster")).agg(count(lit(1)).as("csize"))
-      .orderBy("cluster")
+    val comps = labels.groupBy(col("label").as("cluster")).agg(count(lit(1)).as("csize"))
+    val singletons = Tables.documents(spark, sfDir).select(col("doc_id").as("cluster"))
+      .join(nodes.select(col("id").as("cluster")), Seq("cluster"), "left_anti")
+      .withColumn("csize", lit(1L))
+    comps.unionByName(singletons).orderBy("cluster")
   }
 
   /** Exact word-3-gram (shingle) Jaccard for doc pairs within (lang, source)
