@@ -116,7 +116,29 @@ object EventTime {
       .orderBy("event_type", "day")
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next | current) from lead() pairs under the total order
+    * (epoch_us, event_id). Counts are integers, so the probabilities are
+    * deterministic ratios. One window pass partitioned by user (linear,
+    * shuffles on user_id) and two tiny aggregations over the k² transition
+    * space. */
+  def evtMarkov(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("epoch_us", "event_id")
+    val trans = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type").as("cur"), col("epoch_us"), col("event_id"))
+      .withColumn("nxt", lead("cur", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy("cur", "nxt").agg(count(lit(1)).as("c"))
+    val tot = trans.groupBy("cur").agg(sum("c").as("tc"))
+    trans.join(broadcast(tot), "cur")
+      .select(col("cur"), col("nxt"), col("c"),
+        round(col("c").cast("double") / col("tc"), 4).as("p"))
+      .orderBy("cur", "nxt")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_markov" -> evtMarkov,
     "evt_tumbling" -> evtTumbling,
     "evt_sliding" -> evtSliding,
     "evt_session" -> evtSession,
@@ -164,6 +186,18 @@ object EventTime {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |       LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+    "evt_markov" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS nxt
+        |  FROM events),
+        |trans AS (SELECT cur, nxt, count(*) AS c FROM seq
+        |          WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT cur, CAST(sum(c) AS BIGINT) AS tc FROM trans GROUP BY 1)
+        |SELECT trans.cur, nxt, c, round(CAST(c AS DOUBLE) / tc, 4) AS p
+        |FROM trans JOIN tot ON trans.cur = tot.cur
+        |ORDER BY trans.cur, nxt""".stripMargin,
     "evt_retention" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day

@@ -109,10 +109,35 @@ object TimeSeries {
        |FROM daily WINDOW w AS (ORDER BY day) ORDER BY day""".stripMargin
   }
 
+  /** Maximum drawdown per market segment — the classic downside-risk
+    * metric: the worst relative decline of daily revenue from its running
+    * peak, plus the trough day it happened. The daily series is pinned at
+    * 2 decimals first (so the running max and the ratio see identical
+    * inputs on both engines), the drawdown ratio is rounded at 4, and the
+    * (drawdown, day) argmin is a lexicographic struct-min — one ordered
+    * window over the aggregated daily series plus one hash aggregate,
+    * exactly the win_running_sum scale shape. */
+  def tsDrawdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), to_date(col("o_orderdate")).as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+    val w = Window.partitionBy("seg").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keyed = struct(col("dd").as("d"), col("day"))
+    daily
+      .withColumn("dd", round(col("rev") / max("rev").over(w) - 1.0, 4))
+      .groupBy("seg")
+      .agg(min(keyed).getField("d").as("max_drawdown"),
+        min(keyed).getField("day").as("trough_day"))
+      .orderBy("seg")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_gapfill" -> tsGapfill,
     "ts_forward_fill" -> tsForwardFill,
     "ts_ohlc" -> tsOhlc,
+    "ts_drawdown" -> tsDrawdown,
     "win_ewma" -> winEwma,
   )
 
@@ -148,5 +173,18 @@ object TimeSeries {
         |  count(*) AS n, round(sum(value), 2) AS volume
         |FROM events GROUP BY bar ORDER BY bar""".stripMargin,
     "win_ewma" -> ewmaOracle,
+    "ts_drawdown" ->
+      """WITH daily AS (
+        |  SELECT c_mktsegment AS seg, CAST(o_orderdate AS DATE) AS day,
+        |    round(sum(o_totalprice), 2) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |dd AS (
+        |  SELECT seg, day,
+        |    round(rev / max(rev) OVER (PARTITION BY seg ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1.0, 4) AS dd
+        |  FROM daily)
+        |SELECT seg, (min({'d': dd, 'day': day})).d AS max_drawdown,
+        |  (min({'d': dd, 'day': day})).day AS trough_day
+        |FROM dd GROUP BY seg ORDER BY seg""".stripMargin,
   )
 }
