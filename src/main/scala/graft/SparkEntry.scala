@@ -15,7 +15,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Aggregations.aggPricingSummary(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * NOTE: the `source_*_roundtrip` / `source_partitioned_prune` entries are
+    * side-effecting — BUILDING their DataFrame writes a sample under a
+    * per-application temp root (cleaned up on JVM exit; see Scans.scala).
+    * Anything that iterates `queries` purely to build plans still triggers
+    * those writes. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Scans.defs ++ Filters.defs ++ Joins.defs ++ Aggregations.defs ++
       Windows.defs ++ Sorts.defs ++ SetOps.defs ++ ScalarFuncs.defs ++

@@ -509,7 +509,30 @@ object LlmText {
       .orderBy("lang", "pack_id")
   }
 
+  /** Vocabulary coverage curve: tokens ranked by corpus frequency with
+    * their cumulative share of all token occurrences — the "how big must
+    * the vocab be to cover X% of the corpus" curve every tokenizer design
+    * starts from. One fact-sized explode+aggregate; the ranking window
+    * runs over the VOCABULARY (tiny by definition), and the corpus total
+    * rides a broadcast 1-row aggregate. Counts are integers → the shares
+    * are deterministic ratios. */
+  def llmVocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val freq = docs(spark, sfDir)
+      .select(explode(split(col("norm"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val tot = freq.agg(sum("c").as("t"))
+    val w = Window.orderBy(desc("c"), asc("token"))
+    val cumW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Fanout.broadcastAll(freq, tot, col("token"), col("t"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("c").over(cumW))
+      .select(col("rnk"), col("token"), col("c"),
+        round(col("cum").cast("double") / col("t"), 4).as("cum_share"))
+      .orderBy("rnk")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_vocab_coverage" -> llmVocabCoverage,
     "llm_bm25" -> llmBm25,
     "llm_pmi" -> llmPmi,
     "llm_context_pack" -> llmContextPack,
@@ -534,6 +557,20 @@ object LlmText {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
+        |  FROM documents),
+        |freq AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM freq),
+        |ranked AS (
+        |  SELECT token, c,
+        |    row_number() OVER (ORDER BY c DESC, token ASC) AS rnk,
+        |    CAST(sum(c) OVER (ORDER BY c DESC, token ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM freq)
+        |SELECT rnk, token, c, round(CAST(cum AS DOUBLE) / t, 4) AS cum_share
+        |FROM ranked CROSS JOIN tot ORDER BY rnk""".stripMargin,
     "llm_bm25" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token

@@ -133,7 +133,31 @@ object TimeSeries {
       .orderBy("seg")
   }
 
+  /** Rolling 30-day correlation of each segment's daily revenue against the
+    * whole market's (the CAPM-beta-style co-movement diagnostic). Both
+    * series are pinned at 2 decimals before the window so the correlation
+    * inputs are identical on both engines; rows with fewer than 5 days of
+    * history are dropped on BOTH sides (a 1-point window is NULL in Spark
+    * but NaN in DuckDB — the guard keeps the engines comparable and the
+    * statistic meaningful). Daily aggregation is the only fact-sized pass;
+    * the windows run over the tiny aggregated series. */
+  def winBeta(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), to_date(col("o_orderdate")).as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+    val mkt = daily.groupBy("day").agg(round(sum("rev"), 2).as("mrev"))
+    val w = Window.partitionBy("seg").orderBy("day").rowsBetween(-29, Window.currentRow)
+    daily.join(mkt, "day")
+      .withColumn("n_days", count(lit(1)).over(w))
+      .withColumn("beta_corr", round(corr("rev", "mrev").over(w), 4))
+      .filter(col("n_days") >= 5)
+      .select("seg", "day", "rev", "mrev", "beta_corr")
+      .orderBy("seg", "day")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_beta" -> winBeta,
     "ts_gapfill" -> tsGapfill,
     "ts_forward_fill" -> tsForwardFill,
     "ts_ohlc" -> tsOhlc,
@@ -173,6 +197,21 @@ object TimeSeries {
         |  count(*) AS n, round(sum(value), 2) AS volume
         |FROM events GROUP BY bar ORDER BY bar""".stripMargin,
     "win_ewma" -> ewmaOracle,
+    "win_beta" ->
+      """WITH daily AS (
+        |  SELECT c_mktsegment AS seg, CAST(o_orderdate AS DATE) AS day,
+        |    round(sum(o_totalprice), 2) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |mkt AS (SELECT day, round(sum(rev), 2) AS mrev FROM daily GROUP BY day),
+        |j AS (SELECT seg, daily.day, rev, mrev
+        |      FROM daily JOIN mkt ON daily.day = mkt.day)
+        |SELECT seg, day, rev, mrev, beta_corr FROM (
+        |  SELECT seg, day, rev, mrev,
+        |    count(*) OVER w AS n_days,
+        |    round(corr(rev, mrev) OVER w, 4) AS beta_corr
+        |  FROM j WINDOW w AS (PARTITION BY seg ORDER BY day
+        |    ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+        |WHERE n_days >= 5 ORDER BY seg, day""".stripMargin,
     "ts_drawdown" ->
       """WITH daily AS (
         |  SELECT c_mktsegment AS seg, CAST(o_orderdate AS DATE) AS day,
