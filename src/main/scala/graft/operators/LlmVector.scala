@@ -264,7 +264,31 @@ object LlmVector {
         col("meta.lang").as("meta_lang"))
       .orderBy("doc_id")
 
+  /** Deterministic frame sampling over multimodal payloads: every doc's
+    * payload is sliced at a fixed stride (frame 16 units every 64, the
+    * video-keyframe idiom) and each sampled frame gets a content
+    * fingerprint. This is the Spark-side plumbing a real pipeline runs
+    * before a decode stage (offset arithmetic, per-frame explode, bounded
+    * fan-out of len/stride rows per doc — linear, partial-agg friendly);
+    * the decode itself stays stubbed (MultimodalOps.decodeStub — the
+    * image/audio libs are absent in this container), and the frames here
+    * are sliced from the text payload so both engines can fingerprint the
+    * identical bytes. */
+  def llmFrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val frameLen = 16
+    val stride = 64
+    Tables.documents(spark, sfDir)
+      .withColumn("n_frames",
+        greatest(lit(0L), expr(s"(length(text) - $frameLen) DIV $stride + 1")))
+      .filter(col("n_frames") > 0)
+      .withColumn("frame_idx", explode(sequence(lit(0L), col("n_frames") - 1)))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(expr(s"substring(text, CAST(frame_idx * $stride + 1 AS INT), $frameLen)")).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_frame_sample" -> llmFrameSample,
     "llm_cosine_topk" -> llmCosineTopk,
     "llm_knn_label" -> llmKnnLabel,
     "llm_embed_neardup" -> llmEmbedNeardup,
@@ -321,6 +345,19 @@ object LlmVector {
       |  WHERE p.cell_rank <= 3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "llm_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    greatest(0, (length(text) - 16) // 64 + 1) AS n_frames
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT))) AS frame_idx
+        |  FROM d WHERE n_frames > 0)
+        |SELECT f.doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  md5(substring(text, CAST(frame_idx * 64 + 1 AS INT), 16)) AS frame_md5
+        |FROM f JOIN documents USING (doc_id)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "llm_cosine_topk" ->
       s"""WITH pairs AS (
          |  SELECT ea.vec_id AS a, eb.vec_id AS b,
