@@ -105,7 +105,54 @@ object Composite {
       .orderBy(asc("p_partkey"), asc_nulls_first("pos"))
   }
 
+  /** Q10-style returned-item ranking: customers who returned the most
+    * revenue in one quarter. The returnflag filter reaches the lineitem
+    * scan and the quarter filter the orders scan (both pushed down); the
+    * only fact-fact shuffle is lineitem⋈orders, dims broadcast. */
+  def q10ReturnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = to_timestamp_ntz(lit("1996-01-01"))
+    val hi = to_timestamp_ntz(lit("1996-04-01"))
+    val l = Tables.lineitem(spark, sfDir).filter(col("l_returnflag") === "R")
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      // 4 decimals, not the usual 2: this sum lands on a .xx5 boundary at
+      // sf0.01 where the engines' ~1e-9 partial-sum drift flips the last
+      // rounded digit (SURVEY §1.3 — the wider quantum sidesteps it)
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        round(first("c_acctbal"), 2).as("acctbal"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q18-style large-volume customers: orders whose total quantity exceeds
+    * a threshold, with the buyer. The HAVING runs on the partial-agg'd
+    * (orderkey) rollup BEFORE joining dimensions, so only qualifying
+    * orders reach the join. */
+  def q18LargeVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy("l_orderkey")
+      .agg(round(sum("l_quantity"), 2).as("total_qty"))
+      .filter(col("total_qty") > 150.0)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    big.join(o, col("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), round(col("o_totalprice"), 2).as("totalprice"),
+        col("total_qty"))
+      .orderBy(desc("total_qty"), asc("o_orderkey"))
+      .limit(100)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_returned_items" -> q10ReturnedItems,
+    "q18_large_volume" -> q18LargeVolume,
     "sql_correlated_subquery" -> sqlCorrelatedSubquery,
     "generator_funcs" -> generatorFuncs,
     "q3_shipping_priority" -> q3ShippingPriority,
@@ -115,6 +162,30 @@ object Composite {
   )
 
   val oracles: Map[String, String] = Map(
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |  round(first(c_acctbal), 2) AS acctbal
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "q18_large_volume" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING round(sum(l_quantity), 2) > 150.0)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        |  round(o_totalprice, 2) AS totalprice, total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey ASC LIMIT 100""".stripMargin,
     "sql_correlated_subquery" ->
       """SELECT c_custkey, round(c_acctbal, 2) AS acctbal
         |FROM customer c
