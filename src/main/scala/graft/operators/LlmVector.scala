@@ -277,9 +277,14 @@ object LlmVector {
   def llmFrameSample(spark: SparkSession, sfDir: String): DataFrame = {
     val frameLen = 16
     val stride = 64
+    // The sub-frame-length guard must come BEFORE the division: Spark's DIV
+    // truncates toward zero but DuckDB's // floors, so a negative dividend
+    // ((len - frame) for a short doc) would round differently on the two
+    // engines. With the CASE, the division only ever sees non-negative
+    // values, where the semantics agree.
     Tables.documents(spark, sfDir)
-      .withColumn("n_frames",
-        greatest(lit(0L), expr(s"(length(text) - $frameLen) DIV $stride + 1")))
+      .withColumn("n_frames", expr(
+        s"CASE WHEN length(text) >= $frameLen THEN (length(text) - $frameLen) DIV $stride + 1 ELSE 0 END"))
       .filter(col("n_frames") > 0)
       .withColumn("frame_idx", explode(sequence(lit(0L), col("n_frames") - 1)))
       .select(col("doc_id"), col("frame_idx"),
@@ -348,7 +353,8 @@ object LlmVector {
     "llm_frame_sample" ->
       """WITH d AS (
         |  SELECT doc_id, text,
-        |    greatest(0, (length(text) - 16) // 64 + 1) AS n_frames
+        |    CASE WHEN length(text) >= 16
+        |         THEN (length(text) - 16) // 64 + 1 ELSE 0 END AS n_frames
         |  FROM documents),
         |f AS (
         |  SELECT doc_id,

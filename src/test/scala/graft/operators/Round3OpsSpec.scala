@@ -94,6 +94,22 @@ class Round3OpsSpec extends SparkSpec {
     assert(scores.forall(_ <= cap))
   }
 
+  test("frame sampling boundaries: sub-frame docs drop, exact-length docs emit") {
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_frame_fixture"
+    Seq(
+      (1L, "a" * 10, "en", "src0", 10L),  // shorter than one frame → 0 frames
+      (2L, "b" * 16, "en", "src0", 16L),  // exactly one frame
+      (3L, "c" * 80, "en", "src0", 80L),  // frames at offsets 0 and 64
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val frames = LlmVector.llmFrameSample(spark, dir)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(frames === Map(2L -> 1L, 3L -> 2L),
+      "short docs must drop cleanly (engine division semantics differ on negatives)")
+  }
+
   test("salted join equals the plain join result") {
     val salted = Joins.joinSkewSalted(spark, sf001).collect()
     val li = graft.Tables.lineitem(spark, sf001)
