@@ -109,6 +109,25 @@ object ScalarFuncs {
         element_at(col("m2"), "k").cast("int").as("k_via_strmap"))
       .orderBy("event_id")
 
+  /** Map higher-order functions (transform_keys / transform_values /
+    * map_filter / map_zip_with) over a per-event map built from the JSON
+    * payload. The outputs are scalar projections whose expected values the
+    * oracle computes directly from k, so parity doesn't depend on a map
+    * literal representation. (Per-row lambdas run interpreted — fine for
+    * map-typed config/feature columns, which are dimension-ish by nature;
+    * hot fact-table array pipelines use native expressions instead, see
+    * graft_hashed_shingles.) */
+  def mapHofFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("m", map_from_arrays(array(lit("a"), lit("b")), array(col("k"), col("k") * 2)))
+      .select(col("event_id"),
+        element_at(transform_values(col("m"), (_, v) => v + 1), "a").as("va_plus1"),
+        size(map_filter(col("m"), (_, v) => v % 2 === 0)).as("n_even"),
+        element_at(map_zip_with(col("m"), col("m"), (_, v1, v2) => v1 + v2), "b").as("zb"),
+        map_contains_key(transform_keys(col("m"), (key, _) => upper(key)), "A").as("has_upper_a"))
+      .orderBy("event_id")
+
   def jsonFuncs(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = StructType(Seq(StructField("k", IntegerType)))
     Tables.events(spark, sfDir)
@@ -155,6 +174,7 @@ object ScalarFuncs {
     "array_funcs" -> arrayFuncs,
     "explode_tokens" -> explodeTokens,
     "map_funcs" -> mapFuncs,
+    "map_hof_funcs" -> mapHofFuncs,
     "json_funcs" -> jsonFuncs,
   )
 
@@ -232,6 +252,14 @@ object ScalarFuncs {
       """SELECT token, count(*) AS tf
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY token""".stripMargin,
+    "map_hof_funcs" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) + 1 AS va_plus1,
+        |  CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) % 2 = 0
+        |       THEN 2 ELSE 1 END AS n_even,
+        |  4 * CAST(json_extract_string(props, '$.k') AS INT) AS zb,
+        |  true AS has_upper_a
+        |FROM events ORDER BY event_id""".stripMargin,
     "map_funcs" ->
       """SELECT event_id, 1 AS n_keys,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
