@@ -531,6 +531,80 @@ object LlmText {
       .orderBy("rnk")
   }
 
+  /** PII / sensitive-content scrubbing — the curation step every
+    * training-data pipeline runs before dedup: per-pattern-class match
+    * counts plus a fingerprint of the redacted text (so downstream exact
+    * dedup can run on scrubbed content). Three pattern classes: email- and
+    * long-number-shaped (the canonical PII regexes — structurally real,
+    * zero matches on this synthetic corpus), and an entity-mention bigram
+    * ("customer <word>") that DOES match here, keeping the row
+    * non-vacuous. Pure per-row regex projection: no shuffle, linear at any
+    * corpus size, and the redaction order (email → entity) is fixed
+    * identically on both engines. */
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val numberRe = "[0-9]{3,}"
+  private val entityRe = "customer [a-z]+"
+
+  def llmPiiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        regexp_count(col("norm"), lit(entityRe)).cast("long").as("n_entity"),
+        regexp_count(col("norm"), lit(emailRe)).cast("long").as("n_email"),
+        regexp_count(col("norm"), lit(numberRe)).cast("long").as("n_number"),
+        md5(regexp_replace(regexp_replace(col("norm"), emailRe, "[EMAIL]"),
+          entityRe, "[ENTITY]")).as("redacted_md5"))
+      .orderBy("doc_id")
+
+  /** Eval-set contamination check: documents sharing a 13-token gram with
+    * an eval fixture must be quarantined before training. The eval set here
+    * is derived deterministically from the corpus (first 13 tokens of the 5
+    * lowest doc_ids) so both engines build the identical fixture; the 5
+    * source documents are guaranteed ("planted") hits, proving the detector
+    * fires. Scale shape: the eval side is tiny by definition → broadcast;
+    * the corpus side is a linear distinct-13-gram explode — at 100 TB the
+    * gram strings become xxhash64s (graft_hashed_shingles) with the same
+    * plan. */
+  def llmContamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), split(col("norm"), " ").as("toks"))
+    val ev = d.filter(col("doc_id") < 5 && size(col("toks")) >= 13)
+      .select(col("doc_id").as("eval_id"),
+        concat_ws(" ", slice(col("toks"), 1, 13)).as("gram"))
+    val grams = d.select(col("doc_id"),
+      explode(array_distinct(shingles(concat_ws(" ", col("toks")), 13))).as("gram"))
+    grams.join(broadcast(ev), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct("eval_id").as("n_eval_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Chunk-level exact dedup — production pipelines dedup sub-document
+    * units, not just whole documents: each doc splits into fixed-stride
+    * 32-token chunks, chunks dedup corpus-wide (keeper = first occurrence
+    * by (doc_id, chunk_idx)), and each doc reports its surviving-chunk
+    * fraction. Same shape as llm_dedup_exact scaled to chunks: the window
+    * partitions on sha2(chunk) so the shuffle moves 64-char hash keys, not
+    * chunk text; counts are integers so the fraction is parity-exact. */
+  def llmChunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val stride = 32
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), split(col("norm"), " ").as("toks"))
+    val chunks = d.select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), ceil(size(col("toks")) / lit(stride.toDouble)).cast("int") - 1),
+          i => concat_ws(" ", slice(col("toks"), i * stride + 1, lit(stride))))))
+      .toDF("doc_id", "chunk_idx", "chunk")
+      .select(col("doc_id"), col("chunk_idx"), sha2(col("chunk"), 256).as("ch"))
+    val w = Window.partitionBy("ch").orderBy("doc_id", "chunk_idx")
+    chunks.withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_surviving"))
+      .withColumn("surviving_frac",
+        round(col("n_surviving").cast("double") / col("n_chunks"), 6))
+      .orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_vocab_coverage" -> llmVocabCoverage,
     "llm_bm25" -> llmBm25,
@@ -554,6 +628,9 @@ object LlmText {
     "llm_fingerprint" -> llmFingerprint,
     "llm_doc_sample" -> llmDocSample,
     "llm_simhash" -> llmSimhash,
+    "llm_pii_scrub" -> llmPiiScrub,
+    "llm_contamination" -> llmContamination,
+    "llm_chunk_dedup" -> llmChunkDedup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -798,5 +875,44 @@ object LlmText {
         |    / count(*), 4) AS rate
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // llm_simhash: engine-specific 64-bit hash — spec-checked, no oracle.
+    "llm_pii_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(trim(text)), 'customer [a-z]+')) AS BIGINT) AS n_entity,
+        |  CAST(len(regexp_extract_all(lower(trim(text)), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(lower(trim(text)), '[0-9]{3,}')) AS BIGINT) AS n_number,
+        |  md5(regexp_replace(regexp_replace(lower(trim(text)),
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |    'customer [a-z]+', '[ENTITY]', 'g')) AS redacted_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_contamination" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents),
+        |ev AS (
+        |  SELECT doc_id AS eval_id, array_to_string(toks[1:13], ' ') AS gram
+        |  FROM d WHERE doc_id < 5 AND len(toks) >= 13),
+        |g AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 12)) AS i FROM d),
+        |grams AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+12], ' ') AS gram FROM g)
+        |SELECT doc_id, count(DISTINCT eval_id) AS n_eval_hits
+        |FROM grams JOIN ev USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "llm_chunk_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents),
+        |c0 AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, CAST(ceil(len(toks) / 32.0) - 1 AS BIGINT))) AS ci
+        |  FROM d),
+        |ch AS (
+        |  SELECT doc_id, ci,
+        |    array_to_string(toks[ci*32+1 : ci*32+32], ' ') AS chunk
+        |  FROM c0),
+        |k AS (
+        |  SELECT doc_id, ci,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ci) AS rn
+        |  FROM ch)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_surviving,
+        |  round(CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS surviving_frac
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Round-4 TPC-H-style composites (Q4/Q7/Q8/Q9/Q12/Q14/Q17/Q19/Q21/Q22
+/** TPC-H-style composites (Q4/Q7/Q8/Q9/Q12/Q13/Q14/Q15/Q17/Q19/Q20/Q21/Q22
   * idioms), adapted to the synthetic schema: there is no partsupp table and
   * lineitem carries no commitdate/receiptdate/shipmode, so each query keeps
   * the classic's OPERATOR SHAPE (exists semi-join, nation-pair matrix,
@@ -12,11 +12,15 @@ import graft.Tables
   * anti-join + scalar subquery) on the columns that do exist.
   *
   * Scale notes, common to all: selective filters sit directly on the parquet
-  * scans (pushdown), every dimension (nation 25 / region 5 / part 2k /
-  * supplier 100 / customer 1.5k rows at sf0.01, still tiny at sf100) is
-  * broadcast, and the only shuffles are lineitem⋈orders fact joins and the
-  * final aggregations — the canonical plan that survives 1000 executors.
-  */
+  * scans (pushdown), and the only shuffles are lineitem⋈orders fact joins
+  * and the final aggregations — the canonical plan that survives 1000
+  * executors. Broadcast hints are hard-coded ONLY for nation (25 rows) and
+  * region (5 rows), whose sizes are schema-fixed at every scale factor.
+  * part / customer / supplier scale linearly with SF (~20M / 15M / 1M rows
+  * at sf100), so their joins carry no hint: at test SFs
+  * autoBroadcastJoinThreshold still picks a broadcast from the parquet size
+  * stats, and at large SF AQE keeps the choice honest instead of an OOM'ing
+  * forced broadcast. */
 object Tpch {
 
   private def rev: org.apache.spark.sql.Column =
@@ -53,8 +57,8 @@ object Tpch {
     val n2 = Tables.nation(spark, sfDir)
       .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n1), s("s_nationkey") === col("s_nk"))
       .join(broadcast(n2), c("c_nationkey") === col("c_nk"))
       .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
@@ -79,12 +83,12 @@ object Tpch {
     val r = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
     val sn = Tables.nation(spark, sfDir)
       .select(col("n_nationkey").as("sn_nk"), col("n_name").as("supp_nation"))
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+    l.join(p, l("l_partkey") === p("p_partkey"))
       .join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
       .join(broadcast(sn), s("s_nationkey") === col("sn_nk"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(round(
@@ -103,9 +107,9 @@ object Tpch {
     val p = Tables.part(spark, sfDir).filter(col("p_name").contains("red"))
     val s = Tables.supplier(spark, sfDir)
     val n = Tables.nation(spark, sfDir)
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+    l.join(p, l("l_partkey") === p("p_partkey"))
       .join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name").as("nation"),
         year(col("o_orderdate")).cast("long").as("o_year"))
@@ -138,7 +142,7 @@ object Tpch {
     val l = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
     val p = Tables.part(spark, sfDir)
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+    l.join(p, l("l_partkey") === p("p_partkey"))
       .groupBy(month(col("l_shipdate")).cast("long").as("l_month"))
       .agg(round(
         lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) / sum(rev),
@@ -153,10 +157,10 @@ object Tpch {
   def q17SmallQuantity(spark: SparkSession, sfDir: String): DataFrame = {
     val p = Tables.part(spark, sfDir).filter(col("p_brand") === "Brand#1")
     val l = Tables.lineitem(spark, sfDir)
-    val branded = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+    val branded = l.join(p, l("l_partkey") === p("p_partkey"))
     val avgQty = branded.groupBy(col("l_partkey").as("a_partkey"))
       .agg((lit(0.2) * avg("l_quantity")).as("qty_cut"))
-    branded.join(broadcast(avgQty), col("l_partkey") === col("a_partkey"))
+    branded.join(avgQty, col("l_partkey") === col("a_partkey"))
       .filter(col("l_quantity") < col("qty_cut"))
       .agg(round(sum("l_extendedprice") / lit(7.0), 2).as("avg_yearly"))
       .orderBy("avg_yearly")
@@ -175,7 +179,7 @@ object Tpch {
         col("l_quantity").between(5, 30)) ||
       (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
         col("l_quantity").between(10, 40))
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+    l.join(p, l("l_partkey") === p("p_partkey"))
       .filter(pred)
       .agg(round(sum(rev), 2).as("revenue"))
       .orderBy("revenue")
@@ -206,7 +210,7 @@ object Tpch {
         org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")))
       .filter(col("at_max") === 1L && col("n_at_max") === 1L)
     val s = Tables.supplier(spark, sfDir)
-    soleLatest.join(broadcast(s), col("l_suppkey") === s("s_suppkey"))
+    soleLatest.join(s, col("l_suppkey") === s("s_suppkey"))
       .groupBy("s_name")
       .agg(count(lit(1)).as("numwait"))
       .orderBy(desc("numwait"), asc("s_name"))
@@ -214,22 +218,96 @@ object Tpch {
   }
 
   /** Q22 idiom — idle high-balance customers: above the average positive
-    * account balance (1-row broadcast scalar) with no order since 2000
-    * (anti-join), counted per nation. */
+    * account balance (1-row scalar attached via Fanout.broadcastAll — a
+    * broadcast HASH join, so PlanSpec's cross-product guard stays
+    * exception-free) with no order since 2000 (anti-join), counted per
+    * nation. The threshold is rounded at 6 decimals on BOTH engines:
+    * the raw avg is a shuffle-order-dependent double sum, and a balance
+    * within a ULP of it could otherwise flip set membership. */
   def q22IdleCustomers(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir)
     val avgBal = c.filter(col("c_acctbal") > 0.0)
-      .agg(avg("c_acctbal").as("avg_bal"))
+      .agg(round(avg("c_acctbal"), 6).as("avg_bal"))
     val cutoff = to_timestamp_ntz(lit("2000-01-01"))
     val recent = Tables.orders(spark, sfDir).filter(col("o_orderdate") >= cutoff)
     val n = Tables.nation(spark, sfDir)
-    c.crossJoin(broadcast(avgBal))
+    Fanout.broadcastAll(c, avgBal, col("c_custkey"), col("avg_bal"))
       .filter(col("c_acctbal") > col("avg_bal"))
       .join(recent, col("c_custkey") === recent("o_custkey"), "left_anti")
       .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
       .groupBy("n_name")
       .agg(count(lit(1)).as("numcust"), round(sum("c_acctbal"), 2).as("totacctbal"))
       .orderBy("n_name")
+  }
+
+  /** Q13 idiom — customer order-count distribution: the classic outer-join
+    * histogram. Orders are pre-filtered (priority exclusion plays the role
+    * of the comment NOT LIKE), every customer keeps a row through the left
+    * join (zero-order customers count as c_count = 0), then a two-level
+    * aggregation builds the distribution. Both aggregations are
+    * partial-merge friendly; the second one groups a domain of at most
+    * max-order-count values. */
+  def q13OrderCountDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).filter(col("o_orderpriority") =!= "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(c("c_custkey"))
+      .agg(count(o("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** Q15 idiom — top supplier by quarterly revenue: a supplier-keyed revenue
+    * rollup, its max attached back as a 1-row broadcast scalar (Fanout —
+    * hash join, not a view + correlated subquery re-scan), equality filter,
+    * supplier names joined last. Revenue is rounded at 2 decimals BEFORE
+    * the max/equality on both engines so membership can't flip on
+    * sum-order ULPs. */
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = to_timestamp_ntz(lit("1996-01-01"))
+    val hi = to_timestamp_ntz(lit("1996-04-01"))
+    val suppRev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(round(sum(rev), 2).as("total_revenue"))
+    val mx = suppRev.agg(max("total_revenue").as("max_rev"))
+    val s = Tables.supplier(spark, sfDir)
+    Fanout.broadcastAll(suppRev, mx, col("supplier_no"), col("max_rev"))
+      .filter(col("total_revenue") === col("max_rev"))
+      .join(s, col("supplier_no") === s("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Q20 idiom — quantity-threshold semi-join chain: suppliers of PROMO
+    * parts who shipped more than half of a part's total 1996 volume
+    * (dominant suppliers), restricted to one nation. With no
+    * partsupp.ps_availqty in this schema the threshold compares the
+    * (part, supplier) aggregate against the per-part total — same
+    * two-level-aggregate + double-semi-join shape as the classic. All
+    * quantities are whole numbers, so the 0.5 × total comparison is exact
+    * on both engines. */
+  def q20DominantSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = to_timestamp_ntz(lit("1996-01-01"))
+    val hi = to_timestamp_ntz(lit("1997-01-01"))
+    val p = Tables.part(spark, sfDir).filter(col("p_type") === "PROMO")
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+    val pairs = l.join(p, l("l_partkey") === p("p_partkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum("l_quantity").as("qty"))
+    val tot = pairs.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(sum("qty").as("tot_qty"))
+    val dominant = pairs.join(tot, col("l_partkey") === col("t_partkey"))
+      .filter(col("qty") > lit(0.5) * col("tot_qty"))
+      .select("l_suppkey")
+    val n = Tables.nation(spark, sfDir).filter(col("n_name") === "NATION_1")
+    Tables.supplier(spark, sfDir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_name")
+      .orderBy("s_name")
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -243,6 +321,9 @@ object Tpch {
     "q19_disjunctive" -> q19Disjunctive,
     "q21_sole_latest_supplier" -> q21SoleLatestSupplier,
     "q22_idle_customers" -> q22IdleCustomers,
+    "q13_order_count_dist" -> q13OrderCountDist,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q20_dominant_supplier" -> q20DominantSupplier,
   )
 
   val oracles: Map[String, String] = Map(
@@ -367,7 +448,7 @@ object Tpch {
         |ORDER BY numwait DESC, s_name ASC LIMIT 20""".stripMargin,
     "q22_idle_customers" ->
       """WITH avg_bal AS (
-        |  SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0)
+        |  SELECT round(avg(c_acctbal), 6) AS avg_bal FROM customer WHERE c_acctbal > 0.0)
         |SELECT n_name, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
         |FROM customer
         |CROSS JOIN avg_bal
@@ -377,5 +458,40 @@ object Tpch {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q13_order_count_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH supp_rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1),
+        |mx AS (SELECT max(total_revenue) AS max_rev FROM supp_rev)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supp_rev JOIN supplier ON supplier_no = s_suppkey CROSS JOIN mx
+        |WHERE total_revenue = max_rev ORDER BY s_suppkey""".stripMargin,
+    "q20_dominant_supplier" ->
+      """WITH pairs AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT l_partkey AS t_partkey, sum(qty) AS tot_qty FROM pairs GROUP BY 1)
+        |SELECT s_name FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_1'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM pairs JOIN tot ON l_partkey = t_partkey
+        |    WHERE qty > 0.5 * tot_qty)
+        |ORDER BY s_name""".stripMargin,
   )
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for the round-5 operators (PII scrub, contamination,
+  * chunk dedup, TPC-H Q13/Q15/Q20) plus the SortedIntersectCount
+  * null-element contract — semantic properties the DuckDB hash-compare
+  * can't express. Runs on sf0.001 / sf0.01. */
+class Round5OpsSpec extends SparkSpec {
+
+  test("sorted-intersect skips null elements without NPE (codegen + interpreted)") {
+    graft.functions.SortedIntersectExprs.register(spark)
+    // codegen path (whole-stage projection over a real plan)
+    val viaDf = spark.range(1)
+      .selectExpr(
+        "graft_sorted_intersect_count(array('a', CAST(NULL AS STRING), 'b'), array('a', 'b')) AS s",
+        "graft_sorted_intersect_count(array(CAST(NULL AS LONG), 1L, 2L), array(1L, CAST(NULL AS LONG), 3L)) AS l")
+      .head
+    assert(viaDf.getInt(0) === 2, "null string element must be skipped, not counted")
+    assert(viaDf.getInt(1) === 1, "null long elements on either side must be skipped")
+    // interpreted path (direct eval, no codegen)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val mk = (xs: Seq[Any]) => Literal.create(
+      new GenericArrayData(xs.map {
+        case s: String => UTF8String.fromString(s)
+        case other => other
+      }.toArray), ArrayType(StringType, containsNull = true))
+    val e = graft.functions.SortedIntersectCount(
+      mk(Seq("a", null, "b")), mk(Seq("a", "b")))
+    assert(e.eval(null) === 2)
+  }
+
+  test("pii scrub: entity class fires on this corpus and redaction changes the text") {
+    val pii = LlmText.llmPiiScrub(spark, sf001).cache()
+    val withEntity = pii.filter(col("n_entity") > 0)
+    assert(withEntity.count() > 0, "entity pattern must match — a vacuous row proves nothing")
+    // email/number classes are structurally real but have no matches here
+    assert(pii.filter(col("n_email") > 0 || col("n_number") > 0).count() === 0)
+    // redacted fingerprint differs from the raw fingerprint iff something matched
+    val joined = pii.join(LlmText.llmFingerprint(spark, sf001), "doc_id")
+    assert(joined.filter(col("n_entity") > 0 && col("redacted_md5") === col("fingerprint")).count() === 0,
+      "docs with matches must redact to different text")
+    assert(joined.filter(col("n_entity") === 0 && col("redacted_md5") =!= col("fingerprint")).count() === 0,
+      "docs without matches must pass through untouched")
+    pii.unpersist()
+  }
+
+  test("contamination: the 5 planted eval-source docs are flagged") {
+    val hits = LlmText.llmContamination(spark, sf001)
+      .filter(col("doc_id") < 5)
+      .collect()
+    assert(hits.length === 5, "every eval-source doc contains its own 13-gram")
+    assert(hits.forall(_.getLong(1) >= 1L))
+  }
+
+  test("chunk dedup: counts conserve and duplicate chunks exist corpus-wide") {
+    val cd = LlmText.llmChunkDedup(spark, sf01).cache()
+    assert(cd.filter(col("n_surviving") > col("n_chunks") || col("n_surviving") < 0).count() === 0)
+    assert(cd.filter(col("n_surviving") < col("n_chunks")).count() > 0,
+      "at least one doc must lose a duplicated chunk — a vacuous row proves nothing")
+    // total surviving chunks = number of distinct chunk texts in the corpus
+    val surviving = cd.agg(sum("n_surviving")).head.getLong(0)
+    cd.unpersist()
+    val docs = graft.Tables.documents(spark, sf01)
+      .select(split(lower(trim(col("text"))), " ").as("toks"))
+      .select(explode(transform(
+        sequence(lit(0), ceil(size(col("toks")) / lit(32.0)).cast("int") - 1),
+        i => concat_ws(" ", slice(col("toks"), i * 32 + 1, lit(32))))).as("chunk"))
+    assert(surviving === docs.select("chunk").distinct().count(),
+      "each distinct chunk text must have exactly one surviving occurrence")
+  }
+
+  test("q13 histogram masses sum to the customer count") {
+    val total = Tpch.q13OrderCountDist(spark, sf001).agg(sum("custdist")).head.getLong(0)
+    assert(total === graft.Tables.customer(spark, sf001).count())
+  }
+
+  test("q15 winners all carry the maximum revenue") {
+    val rows = Tpch.q15TopSupplier(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getDouble(2)).distinct.length === 1,
+      "every returned supplier ties at the max")
+  }
+
+  test("q20 dominant suppliers are a subset of the nation's suppliers") {
+    val out = Tpch.q20DominantSupplier(spark, sf01).collect().map(_.getString(0))
+    assert(out.sameElements(out.sorted), "output must be name-ordered")
+    val nation1 = graft.Tables.supplier(spark, sf01)
+      .join(graft.Tables.nation(spark, sf01).filter(col("n_name") === "NATION_1"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_name").collect().map(_.getString(0)).toSet
+    assert(out.forall(nation1.contains))
+  }
+}
