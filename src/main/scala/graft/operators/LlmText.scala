@@ -605,6 +605,48 @@ object LlmText {
       .orderBy("doc_id")
   }
 
+  /** Repetition-based quality scoring (the Gopher-rules idiom): documents
+    * whose token stream repeats itself are boilerplate/spam candidates.
+    * Per doc: duplicate-token fraction (1 − distinct/total tokens) and
+    * duplicate-3-gram fraction, plus the repetition flag at the
+    * conventional 0.2 threshold ON THE ROUNDED value (both engines compare
+    * identical rounded doubles, so the flag can't flip on ULPs). Pure
+    * per-row higher-order-function projection — no shuffle, linear at any
+    * corpus size. */
+  def llmRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(col("norm"), " ")
+    docs(spark, sfDir)
+      .withColumn("g3", shingles(col("norm"), 3))
+      .select(col("doc_id"),
+        round(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks), 6)
+          .as("dup_token_frac"),
+        when(size(col("g3")) > 0,
+          round(lit(1.0) - size(array_distinct(col("g3"))).cast("double") / size(col("g3")), 6))
+          .as("dup_gram_frac"))
+      .withColumn("flagged", coalesce(col("dup_gram_frac"), lit(0.0)) > 0.2)
+      .orderBy("doc_id")
+  }
+
+  /** Domain-mixing weights — the sampling step that turns per-source corpus
+    * statistics into training mixture proportions: per (lang, source),
+    * document and token counts, and a sqrt-damped sampling share
+    * (weight ∝ √tokens, the standard temperature-style upweighting of
+    * small domains; sqrt is correctly rounded in IEEE so both engines agree
+    * bit-for-bit before the rounded ratio). One partial-agg shuffle over
+    * the corpus; the normalizing total rides a broadcast 1-row aggregate
+    * (Fanout — hash join, not a nested loop). */
+  def llmDomainMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = docs(spark, sfDir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("norm"), " ")).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum(sqrt(col("n_tokens"))).as("t"))
+    Fanout.broadcastAll(per, tot, col("lang"), col("t"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        round(sqrt(col("n_tokens")) / col("t"), 6).as("mix_weight"))
+      .orderBy("lang", "source")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_vocab_coverage" -> llmVocabCoverage,
     "llm_bm25" -> llmBm25,
@@ -631,6 +673,8 @@ object LlmText {
     "llm_pii_scrub" -> llmPiiScrub,
     "llm_contamination" -> llmContamination,
     "llm_chunk_dedup" -> llmChunkDedup,
+    "llm_repetition" -> llmRepetition,
+    "llm_domain_mix" -> llmDomainMix,
   )
 
   val oracles: Map[String, String] = Map(
@@ -914,5 +958,32 @@ object LlmText {
         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_surviving,
         |  round(CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS surviving_frac
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "llm_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks,
+        |    list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+        |  FROM d),
+        |f AS (
+        |  SELECT doc_id,
+        |    round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS dup_token_frac,
+        |    CASE WHEN len(g3) > 0
+        |         THEN round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
+        |    END AS dup_gram_frac
+        |  FROM g)
+        |SELECT doc_id, dup_token_frac, dup_gram_frac,
+        |  coalesce(dup_gram_frac, 0.0) > 0.2 AS flagged
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "llm_domain_mix" ->
+      """WITH per AS (
+        |  SELECT lang, source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(lower(trim(text)), ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT sum(sqrt(n_tokens)) AS t FROM per)
+        |SELECT lang, source, n_docs, n_tokens,
+        |  round(sqrt(n_tokens) / t, 6) AS mix_weight
+        |FROM per CROSS JOIN tot ORDER BY lang, source""".stripMargin,
   )
 }

@@ -240,6 +240,24 @@ object Tpch {
       .orderBy("n_name")
   }
 
+  /** Q6 idiom — forecast revenue change: the canonical scan-only aggregate.
+    * All three predicates (date range, discount band, quantity cap) push
+    * into the parquet scan, so the whole query is a filtered columnar read
+    * plus one partial+final aggregate — at any scale the plan is one pass
+    * over the pruned row groups with no join and no wide shuffle. The
+    * discount band compares against the stored double values directly
+    * (both engines read the identical parquet doubles, so the boundary
+    * rows agree bit-for-bit). */
+  def q6ForecastRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = to_timestamp_ntz(lit("1996-01-01"))
+    val hi = to_timestamp_ntz(lit("1997-01-01"))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+      .orderBy("revenue")
+  }
+
   /** Q13 idiom — customer order-count distribution: the classic outer-join
     * histogram. Orders are pre-filtered (priority exclusion plays the role
     * of the comment NOT LIKE), every customer keeps a row through the left
@@ -324,6 +342,7 @@ object Tpch {
     "q13_order_count_dist" -> q13OrderCountDist,
     "q15_top_supplier" -> q15TopSupplier,
     "q20_dominant_supplier" -> q20DominantSupplier,
+    "q6_forecast_revenue" -> q6ForecastRevenue,
   )
 
   val oracles: Map[String, String] = Map(
@@ -493,5 +512,13 @@ object Tpch {
         |    SELECT l_suppkey FROM pairs JOIN tot ON l_partkey = t_partkey
         |    WHERE qty > 0.5 * tot_qty)
         |ORDER BY s_name""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24
+        |ORDER BY revenue""".stripMargin,
   )
 }

@@ -74,6 +74,26 @@ class Round5OpsSpec extends SparkSpec {
       "each distinct chunk text must have exactly one surviving occurrence")
   }
 
+  test("repetition fractions stay in [0,1] and the flag matches its threshold") {
+    val rep = LlmText.llmRepetition(spark, sf001).cache()
+    assert(rep.filter(col("dup_token_frac") < 0 || col("dup_token_frac") > 1).count() === 0)
+    assert(rep.filter(
+      col("flagged") =!= (coalesce(col("dup_gram_frac"), lit(0.0)) > 0.2)).count() === 0)
+    rep.unpersist()
+  }
+
+  test("domain mix weights are positive and sum to 1") {
+    val mix = LlmText.llmDomainMix(spark, sf001)
+    val s = mix.agg(sum("mix_weight")).head.getDouble(0)
+    assert(math.abs(s - 1.0) < 1e-3, s"weights sum to $s") // 6-dp rounding × n groups
+    assert(mix.filter(col("mix_weight") <= 0).count() === 0)
+  }
+
+  test("q6 is a single positive scan-only aggregate") {
+    val rows = Tpch.q6ForecastRevenue(spark, sf001).collect()
+    assert(rows.length === 1 && rows.head.getDouble(0) > 0.0)
+  }
+
   test("q13 histogram masses sum to the customer count") {
     val total = Tpch.q13OrderCountDist(spark, sf001).agg(sum("custdist")).head.getLong(0)
     assert(total === graft.Tables.customer(spark, sf001).count())
