@@ -565,14 +565,24 @@ object LlmText {
     * gram strings become xxhash64s (graft_hashed_shingles) with the same
     * plan. */
   def llmContamination(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.HashedShingles.register(spark)
     val d = docs(spark, sfDir)
-      .select(col("doc_id"), split(col("norm"), " ").as("toks"))
+      .select(col("doc_id"), col("norm"), split(col("norm"), " ").as("toks"))
+    // Both sides hash grams with graft_hashed_shingles (chain-mixed token
+    // hashes): a 13-token eval gram yields exactly ONE hash, equal to the
+    // hash of the matching corpus window, so the join moves 8-byte longs
+    // instead of ~90-char gram strings (the string formulation spent ~2× the
+    // query materializing and deduping 45 MB of grams at sf0.1). The oracle
+    // replays the exact string join; counts agree up to the ~2e-9 64-bit
+    // collision odds the repo already accepts for llm_jaccard_exact.
     val ev = d.filter(col("doc_id") < 5 && size(col("toks")) >= 13)
       .select(col("doc_id").as("eval_id"),
         concat_ws(" ", slice(col("toks"), 1, 13)).as("gram"))
+      .select(col("eval_id"),
+        element_at(expr("graft_hashed_shingles(gram, 13)"), 1).as("h"))
     val grams = d.select(col("doc_id"),
-      explode(array_distinct(shingles(concat_ws(" ", col("toks")), 13))).as("gram"))
-    grams.join(broadcast(ev), "gram")
+      explode(expr("graft_hashed_shingles(norm, 13)")).as("h"))
+    grams.join(broadcast(ev), "h")
       .groupBy("doc_id")
       .agg(countDistinct("eval_id").as("n_eval_hits"))
       .orderBy("doc_id")

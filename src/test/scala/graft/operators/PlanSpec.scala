@@ -110,6 +110,19 @@ class PlanSpec extends SparkSpec {
     assert(broadcasts >= 3, s"expected bigram/unigram/vocab broadcasts, saw $broadcasts")
   }
 
+  test("q6 pushes all three predicates into the parquet scan") {
+    val plan = formatted(Tpch.q6ForecastRevenue(spark, sf001))
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"), s"scan-only query must push every predicate: $pushed")
+  }
+
+  test("contamination joins hashed grams through a broadcast of the eval side") {
+    val plan = formatted(LlmText.llmContamination(spark, sf001))
+    assert(plan.contains("BroadcastHashJoin"), "tiny eval side must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "gram join must not shuffle the corpus side")
+  }
+
   test("no declared query plans an accidental cross product") {
     // Intentional pairwise/cross plan: only the bounded 25×5 cross-join grid.
     // The similarity-search queries are covered (un-whitelisted) above.
