@@ -156,8 +156,55 @@ object TimeSeries {
       .orderBy("seg", "day")
   }
 
+  /** Hourly VWAP bars — the volume-weighted average price every execution
+    * desk computes: per bar, Σ(price × size) / Σ(size) with the trade size
+    * taken from the JSON props (integer, so the denominator is exact; the
+    * weighted numerator is a shuffle-order-dependent double sum, hence the
+    * ratio's 4-decimal margin). A bar whose sizes sum to zero has no
+    * defined VWAP — guarded to NULL on BOTH engines (under ANSI mode the
+    * unguarded division THROWS, and such bars exist at sf0.001). Same
+    * single-hash-aggregate scale shape as ts_ohlc: partial sums per
+    * partition, one shuffle on the bar key. */
+  def tsVwap(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("bar", date_trunc("hour", col("ts_ntz")).cast("timestamp_ntz"))
+      .withColumn("sz", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("bar")
+      .agg(
+        when(sum("sz") > 0,
+          round(sum(col("value") * col("sz")) / sum("sz"), 4)).as("vwap"),
+        sum("sz").as("volume"),
+        count(lit(1)).as("n_trades"))
+      .orderBy("bar")
+
+  /** Rolling 30-day volatility of daily segment returns — the realized-vol
+    * staple next to win_beta's rolling correlation: daily revenue pinned at
+    * 2 decimals, simple returns rounded at 6 BEFORE the window (so the
+    * stddev sees identical inputs on both engines), then a 30-row
+    * stddev_samp frame with the same ≥5-observation guard as win_beta
+    * (tiny frames are statistically meaningless and NULL/NaN-divergent).
+    * The only fact-sized pass is the daily aggregation; the windows run
+    * over the aggregated series. */
+  def tsRollingVol(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), to_date(col("o_orderdate")).as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+    val wlag = Window.partitionBy("seg").orderBy("day")
+    val w = Window.partitionBy("seg").orderBy("day").rowsBetween(-29, Window.currentRow)
+    daily
+      .withColumn("ret", round(col("rev") / lag(col("rev"), 1).over(wlag) - 1.0, 6))
+      .withColumn("n_obs", count(col("ret")).over(w))
+      .withColumn("vol30", round(stddev_samp("ret").over(w), 4))
+      .filter(col("n_obs") >= 5)
+      .select("seg", "day", "ret", "vol30")
+      .orderBy("seg", "day")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_beta" -> winBeta,
+    "ts_vwap" -> tsVwap,
+    "ts_rolling_vol" -> tsRollingVol,
     "ts_gapfill" -> tsGapfill,
     "ts_forward_fill" -> tsForwardFill,
     "ts_ohlc" -> tsOhlc,
@@ -166,6 +213,31 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "ts_vwap" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar,
+        |  CASE WHEN sum(sz) > 0
+        |       THEN round(sum(value * sz) / sum(sz), 4) END AS vwap,
+        |  CAST(sum(sz) AS BIGINT) AS volume, count(*) AS n_trades
+        |FROM (SELECT ts, value,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS sz
+        |      FROM events)
+        |GROUP BY bar ORDER BY bar""".stripMargin,
+    "ts_rolling_vol" ->
+      """WITH daily AS (
+        |  SELECT c_mktsegment AS seg, CAST(o_orderdate AS DATE) AS day,
+        |    round(sum(o_totalprice), 2) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |r AS (
+        |  SELECT seg, day,
+        |    round(rev / lag(rev, 1) OVER (PARTITION BY seg ORDER BY day) - 1.0, 6) AS ret
+        |  FROM daily)
+        |SELECT seg, day, ret, vol30 FROM (
+        |  SELECT seg, day, ret,
+        |    count(ret) OVER w AS n_obs,
+        |    round(stddev_samp(ret) OVER w, 4) AS vol30
+        |  FROM r WINDOW w AS (PARTITION BY seg ORDER BY day
+        |    ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+        |WHERE n_obs >= 5 ORDER BY seg, day""".stripMargin,
     "ts_gapfill" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,

@@ -94,6 +94,29 @@ class Round5OpsSpec extends SparkSpec {
     assert(rows.length === 1 && rows.head.getDouble(0) > 0.0)
   }
 
+  test("vwap lies within each bar's price range; zero-volume bars have NULL vwap") {
+    val bars = TimeSeries.tsVwap(spark, sf001)
+      .join(graft.Tables.events(spark, sf001)
+          .groupBy(date_trunc("hour", col("ts_ntz")).cast("timestamp_ntz").as("bar"))
+          .agg(min("value").as("lo"), max("value").as("hi")),
+        "bar")
+      .cache()
+    assert(bars.filter(col("vwap") < col("lo") - 1e-4 || col("vwap") > col("hi") + 1e-4).count() === 0,
+      "a weighted average cannot leave the price range")
+    assert(bars.filter(col("volume") < 0).count() === 0)
+    assert(bars.filter(col("vwap").isNull =!= (col("volume") === 0)).count() === 0,
+      "vwap is defined exactly on bars with positive volume")
+    bars.unpersist()
+  }
+
+  test("rolling volatility is non-negative and needs 5 observations") {
+    val vol = TimeSeries.tsRollingVol(spark, sf001)
+    assert(vol.filter(col("vol30") < 0).count() === 0)
+    // the guard drops the first 5 days of every segment (ret null on day 1)
+    val firstDays = vol.groupBy("seg").agg(min("day").as("first_kept"))
+    assert(firstDays.count() > 0)
+  }
+
   test("q13 histogram masses sum to the customer count") {
     val total = Tpch.q13OrderCountDist(spark, sf001).agg(sum("custdist")).head.getLong(0)
     assert(total === graft.Tables.customer(spark, sf001).count())
