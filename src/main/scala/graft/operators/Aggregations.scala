@@ -75,7 +75,9 @@ object Aggregations {
     val c = Tables.customer(spark, sfDir)
     val n = Tables.nation(spark, sfDir)
     val r = Tables.region(spark, sfDir)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    // customer scales with SF — no hard broadcast hint (stats/AQE decide);
+    // nation/region are schema-fixed and keep theirs
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
   }

@@ -10,8 +10,11 @@ import graft.Tables
   * relational core composes rather than new primitives.
   *
   * Scale notes: each is selective-filter-first (pushdown shrinks the fact
-  * scan), dimension-broadcast, single-shuffle aggregation — the canonical
-  * shape that survives a 1000-executor scale-up.
+  * scan), single-shuffle aggregation — the canonical shape that survives a
+  * 1000-executor scale-up. Only schema-fixed nation (25 rows) carries a
+  * hard broadcast hint; customer/supplier scale linearly with SF, so their
+  * joins are left to the size-stats/AQE broadcast decision (still
+  * broadcast at test SFs, never an OOM'ing forced broadcast at sf100).
   */
 object Composite {
 
@@ -23,7 +26,7 @@ object Composite {
     val o = Tables.orders(spark, sfDir).filter(col("o_orderdate") < cutoff)
     val l = Tables.lineitem(spark, sfDir).filter(col("l_shipdate") > cutoff)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
       .orderBy(desc("revenue"), asc("l_orderkey"))
@@ -40,8 +43,8 @@ object Composite {
     val s = Tables.supplier(spark, sfDir)
     val n = Tables.nation(spark, sfDir)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(s), l("l_suppkey") === s("s_suppkey") &&
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey") &&
         c("c_nationkey") === s("s_nationkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy("n_name")
@@ -54,7 +57,7 @@ object Composite {
     val o = Tables.orders(spark, sfDir)
     val c = Tables.customer(spark, sfDir)
     val n = Tables.nation(spark, sfDir)
-    val perCust = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    val perCust = o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy("n_name", "c_custkey")
       .agg(round(sum("o_totalprice"), 2).as("revenue"))
@@ -69,7 +72,7 @@ object Composite {
   def yoySegmentGrowth(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
     val c = Tables.customer(spark, sfDir)
-    val yearly = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    val yearly = o.join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_mktsegment").as("segment"), year(col("o_orderdate")).cast("long").as("y"))
       .agg(sum("o_totalprice").as("rev"))
     val w = Window.partitionBy("segment").orderBy("y")
@@ -118,7 +121,7 @@ object Composite {
     val c = Tables.customer(spark, sfDir)
     val n = Tables.nation(spark, sfDir)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy("c_custkey", "c_name", "n_name")
       // 4 decimals, not the usual 2: this sum lands on a .xx5 boundary at
@@ -142,7 +145,7 @@ object Composite {
     val o = Tables.orders(spark, sfDir)
     val c = Tables.customer(spark, sfDir)
     big.join(o, col("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_orderdate"), round(col("o_totalprice"), 2).as("totalprice"),
         col("total_qty"))

@@ -31,13 +31,17 @@ object Joins {
       .orderBy("o_orderpriority")
   }
 
-  /** 4-way star join with explicit broadcast of every dimension. */
+  /** 4-way star join, dimensions broadcast: nation/region carry explicit
+    * hints (schema-fixed 25/5 rows — safe at any SF), customer is left to
+    * the size-stats/AQE broadcast decision because it scales with SF (15M
+    * rows at sf100 would OOM a forced broadcast). At test SFs all three
+    * plan as BroadcastHashJoin (PlanSpec asserts it). */
   def joinBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
     val c = Tables.customer(spark, sfDir)
     val n = Tables.nation(spark, sfDir)
     val r = Tables.region(spark, sfDir)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy("r_name")
