@@ -70,6 +70,24 @@ object Aggregations {
       .agg(approx_count_distinct("user_id").as("approx_users"))
       .orderBy("event_type")
 
+  /** MERGEABLE HLL sketches — the property that makes distinct-counting
+    * feasible at 100 TB: each day pre-aggregates its users into a Datasketches
+    * HLL sketch (a few KB regardless of cardinality), and the cross-day
+    * distinct count is a union of sketches, never a re-scan of raw events.
+    * The same shape serves rollup cubes, incremental daily jobs, and
+    * cross-partition merges. No oracle (sketch bytes are engine-specific);
+    * the spec asserts the merged estimate lands within 5% of the exact
+    * cross-day distinct. */
+  def aggHllMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts_ntz")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    daily.agg(
+      count(lit(1)).as("n_days"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_users"))
+      .orderBy("n_days")
+  }
+
   private def starRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
     val c = Tables.customer(spark, sfDir)
@@ -236,6 +254,7 @@ object Aggregations {
     "agg_multi_stats" -> aggMultiStats,
     "agg_distinct_exact" -> aggDistinctExact,
     "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_hll_merge" -> aggHllMerge,
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,

@@ -117,6 +117,16 @@ class Round5OpsSpec extends SparkSpec {
     assert(firstDays.count() > 0)
   }
 
+  test("merged HLL sketches estimate the cross-day distinct within 5%") {
+    val row = Aggregations.aggHllMerge(spark, sf01).head
+    val est = row.getLong(1).toDouble
+    val exact = graft.Tables.events(spark, sf01)
+      .agg(countDistinct("user_id")).head.getLong(0).toDouble
+    assert(row.getLong(0) > 1, "must actually merge sketches across multiple days")
+    assert(math.abs(est - exact) / exact <= 0.05,
+      s"merged estimate $est vs exact $exact drifted beyond the HLL error bound")
+  }
+
   test("q13 histogram masses sum to the customer count") {
     val total = Tpch.q13OrderCountDist(spark, sf001).agg(sum("custdist")).head.getLong(0)
     assert(total === graft.Tables.customer(spark, sf001).count())
