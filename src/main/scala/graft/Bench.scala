@@ -72,8 +72,15 @@ object Bench {
       }
       val t = once() match {
         case None => failures += name; 0.0
-        // a second-run failure (flaky side effect) keeps the first timing
-        case Some(a) => once().fold(a)(b => math.min(a, b))
+        case Some(a) => once() match {
+          case Some(b) => math.min(a, b)
+          // a second-run failure (flaky side effect, or state left behind by
+          // the first run) keeps the first timing but must stay visible —
+          // silently discarding it would hide deterministic repeat-run breakage
+          case None =>
+            System.err.println(s"[bench] $name second run FAILED; keeping first-run timing")
+            a
+        }
       }
       name -> t
     }

@@ -77,6 +77,5 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 object VectorExprs {
   /** Registers graft_dot for the session. Idempotent. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    Registration.once(spark, "graft_dot")(exprs => DotProduct(exprs.head, exprs(1)))
 }

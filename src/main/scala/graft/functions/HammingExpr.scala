@@ -33,6 +33,5 @@ case class HammingDistance(left: Expression, right: Expression) extends BinaryEx
 
 object HammingExprs {
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hamming", exprs => HammingDistance(exprs.head, exprs(1)), "built-in")
+    Registration.once(spark, "graft_hamming")(exprs => HammingDistance(exprs.head, exprs(1)))
 }

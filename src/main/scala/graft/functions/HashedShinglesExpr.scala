@@ -109,6 +109,5 @@ object HashedShingles {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hashed_shingles", exprs => HashedShingles(exprs.head, exprs(1)), "built-in")
+    Registration.once(spark, "graft_hashed_shingles")(exprs => HashedShingles(exprs.head, exprs(1)))
 }

@@ -97,7 +97,6 @@ case class SortedIntersectCount(left: Expression, right: Expression) extends Bin
 
 object SortedIntersectExprs {
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_sorted_intersect_count",
-      exprs => SortedIntersectCount(exprs.head, exprs(1)), "built-in")
+    Registration.once(spark, "graft_sorted_intersect_count")(
+      exprs => SortedIntersectCount(exprs.head, exprs(1)))
 }

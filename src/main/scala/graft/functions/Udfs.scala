@@ -27,8 +27,7 @@ object Udfs {
   /** Registers graft_l2norm as a SQL function backed by the native
     * expression. Idempotent; call before using expr("graft_l2norm(...)"). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_l2norm", exprs => L2Norm(exprs.head), "built-in")
+    Registration.once(spark, "graft_l2norm")(exprs => L2Norm(exprs.head))
 
   /** Top-10 embeddings by L2 norm via the native expression. */
   def udfL2norm(spark: SparkSession, sfDir: String): DataFrame = {

@@ -244,8 +244,37 @@ object Aggregations {
       .orderBy("l_returnflag")
   }
 
+  /** Exact heavy hitters via a two-pass Misra-Gries sketch: per event_type,
+    * every user_id with frequency > n/120 of its group.
+    *
+    * Pass 1 runs the mergeable MG sketch (capacity 119) — the shuffle moves
+    * one ≤119-counter summary per partition per group, never raw ids, so at
+    * 100 TB the candidate generation costs O(groups·k), not O(distinct).
+    * The sketch guarantees candidates ⊇ every item above the n/120
+    * threshold. Pass 2 re-counts ONLY the candidates exactly (left-semi
+    * against the tiny broadcast candidate list) and filters on the exact
+    * count — sketch nondeterminism (counts are stream-order dependent)
+    * cannot reach the output, which makes this sketch query fully
+    * oracle-checkable, unlike HLL/MinHash. GraftProps additionally asserts
+    * the MG superset guarantee on adversarial generated streams. */
+  def aggFreqItems(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val ev = Tables.events(spark, sfDir).select("event_type", "user_id")
+    val mg = udaf(new graft.functions.MisraGries(119), Encoders.scalaLong)
+    val cands = ev.groupBy("event_type").agg(mg(col("user_id")).as("c"))
+      .select(col("event_type"), explode(col("c.ids")).as("user_id"))
+    val totals = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    ev.join(broadcast(cands), Seq("event_type", "user_id"), "left_semi")
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), "event_type")
+      .filter(col("cnt") > col("n") / 120.0)
+      .select("event_type", "user_id", "cnt")
+      .orderBy("event_type", "user_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_pricing_summary" -> aggPricingSummary,
+    "agg_freq_items" -> aggFreqItems,
     "agg_mode" -> aggMode,
     "agg_approx_percentile" -> aggApproxPercentile,
     "agg_bitwise" -> aggBitwise,
@@ -266,6 +295,17 @@ object Aggregations {
   )
 
   val oracles: Map[String, String] = Map(
+    // Oracle replays the exact-count definition directly: the MG sketch only
+    // proposes candidates; the output is the exact heavy-hitter set either way.
+    "agg_freq_items" ->
+      """WITH cnts AS (
+        |  SELECT event_type, user_id, count(*) AS cnt
+        |  FROM events GROUP BY event_type, user_id),
+        |tot AS (SELECT event_type, sum(cnt) AS n FROM cnts GROUP BY event_type)
+        |SELECT cnts.event_type, user_id, cnt
+        |FROM cnts JOIN tot ON cnts.event_type = tot.event_type
+        |WHERE cnt > n / 120.0
+        |ORDER BY cnts.event_type, user_id""".stripMargin,
     "agg_mode" ->
       """SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_cnt FROM (
         |  SELECT l_returnflag, l_quantity, count(*) AS cnt,

@@ -157,8 +157,16 @@ object LlmVector {
   private val cellMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def cellScored(spark: SparkSession, sfDir: String): DataFrame =
+  private def cellScored(spark: SparkSession, sfDir: String): DataFrame = {
+    // evict entries whose session has been stopped: their storage is already
+    // released with the SparkContext, but the map entry would otherwise pin
+    // the session + logical plan for the JVM lifetime — a slow leak in
+    // processes that churn sessions (e.g. repeated test suites)
+    cellMemo.keysIterator.foreach { k =>
+      if (k._1.sparkContext.isStopped) cellMemo.remove(k): Unit
+    }
     cellMemo.getOrElseUpdate((spark, sfDir), buildCellScored(spark, sfDir))
+  }
 
   private def buildCellScored(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)

@@ -59,7 +59,7 @@ object Scans {
     f.delete(): Unit
   }
 
-  private def tmpRoot(spark: SparkSession): String = {
+  private[operators] def tmpRoot(spark: SparkSession): String = {
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_${spark.sparkContext.applicationId}"
     if (registeredRoots.add(root))
       Runtime.getRuntime.addShutdownHook(new Thread(() =>

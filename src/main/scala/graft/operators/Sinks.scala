@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Sink-side operators (SURVEY.md §2.12): incremental MERGE/upsert and
+  * small-files compaction — the two most common ETL maintenance operations
+  * a 100 TB lakehouse runs daily.
+  *
+  * Both are side-effecting like the `source_*_roundtrip` queries: building
+  * the DataFrame writes under the per-application temp root (cleaned up on
+  * JVM exit; see Scans.tmpRoot).
+  */
+object Sinks {
+
+  /** MERGE INTO (SCD-1 upsert) expressed Spark-first: snapshot FULL OUTER
+    * JOIN changeset on the key, conditional select, write the new snapshot,
+    * read it back.
+    *
+    * The changeset is derived deterministically from the snapshot itself so
+    * the oracle can replay it: keys ≡ 3 (mod 10) are updates (status → 'R',
+    * price +10%), keys ≡ 7 (mod 10) generate inserts under fresh negative
+    * keys (orderkeys are non-negative in every testdata SF, so -(key+1)
+    * can never collide with an existing key).
+    *
+    * Changed prices are deliberately NOT rounded: price×1.1 / price×0.5 are
+    * single IEEE multiplies, bit-identical on both engines — whereas
+    * round(×0.5, 2) lands exactly on .xx5 half-points where Spark
+    * (BigDecimal HALF_UP on the shortest decimal repr) and DuckDB (binary
+    * value) disagree, measured 36/16500 rows off by 1 cent. The repo's
+    * round-on-both-engines convention targets order-dependent SUMS; these
+    * are per-row scalars.
+    *
+    * Scale shape: ONE shuffle per side on the join key (sort-merge full
+    * outer); the changeset branch's filters push into its scan. Neither side
+    * is broadcast — both scale with the fact table, exactly the situation
+    * real MERGE hits. Computed prices are rounded on both engines; kept rows
+    * carry parquet values bit-identically. Round6OpsSpec asserts the plan is
+    * a single full-outer sort-merge/shuffled-hash join and the written
+    * snapshot preserves row counts (|target| + |inserts|).
+    */
+  def sinkMergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    merged(spark, sfDir).write.mode("overwrite")
+      .parquet(s"${Scans.tmpRoot(spark)}/merge_orders")
+    spark.read.parquet(s"${Scans.tmpRoot(spark)}/merge_orders")
+      .orderBy("o_orderkey")
+  }
+
+  /** The merge plan itself (pre-sink) — separated so the spec can assert
+    * its shape without the write. */
+  private[operators] def merged(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val updates = target.filter(col("o_orderkey") % 10 === 3)
+      .select(col("o_orderkey"), col("o_custkey"), lit("R").as("s"),
+        (col("o_totalprice") * 1.1).as("p"))
+    val inserts = target.filter(col("o_orderkey") % 10 === 7)
+      .select((-(col("o_orderkey") + 1)).as("o_orderkey"), col("o_custkey"),
+        lit("N").as("s"), (col("o_totalprice") * 0.5).as("p"))
+    val changeset = updates.union(inserts)
+      .toDF("c_key", "c_custkey", "c_status", "c_price")
+    target.join(changeset, col("o_orderkey") === col("c_key"), "full_outer")
+      .select(
+        coalesce(col("c_key"), col("o_orderkey")).as("o_orderkey"),
+        coalesce(col("c_custkey"), col("o_custkey")).as("o_custkey"),
+        when(col("c_key").isNotNull, col("c_status"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        when(col("c_key").isNotNull, col("c_price"))
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        when(col("c_key").isNull, lit("keep"))
+          .when(col("o_orderkey").isNull, lit("insert"))
+          .otherwise(lit("update")).as("op"))
+  }
+
+  /** Target file count for the compacted copy — small enough that every SF
+    * produces multi-megabyte files (the point of compaction), large enough
+    * to exercise the range partitioner. */
+  private[operators] val CompactionFiles = 4
+
+  /** Small-files compaction: rewrite lineitem as exactly `CompactionFiles`
+    * range-partitioned files sorted within each file.
+    *
+    * `repartitionByRange(n, key)` + per-file `sortWithinPartitions` is the
+    * scale story for file sizing: the range exchange samples key quantiles,
+    * so output files are balanced AND carry non-overlapping key ranges —
+    * parquet min/max footer stats then prune whole files for key-range
+    * predicates on later reads (verified by Round6OpsSpec: file ranges are
+    * disjoint and the file count is exact). At 100 TB the same two-liner
+    * with n = bytes/target_file_size is the nightly compaction job.
+    *
+    * Returns a one-row summary read FROM THE COMPACTED COPY (file count via
+    * distinct input_file_name, rows, key span) — distributed, no collect.
+    * No DuckDB oracle: file layout isn't observable from SQL; the
+    * row-preservation half IS asserted against the source in the spec.
+    */
+  def sinkCompaction(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = s"${Scans.tmpRoot(spark)}/compact_lineitem"
+    Tables.lineitem(spark, sfDir)
+      .repartitionByRange(CompactionFiles, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey", "l_linenumber")
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      // project the (nondeterministic) file name first — aggregate arguments
+      // must be deterministic, a plain column is
+      .select(input_file_name().as("f"), col("l_orderkey"))
+      .agg(
+        countDistinct("f").as("n_files"),
+        count(lit(1)).as("n_rows"),
+        min("l_orderkey").as("min_key"),
+        max("l_orderkey").as("max_key"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_merge_upsert" -> sinkMergeUpsert,
+    "sink_compaction" -> sinkCompaction,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // sink_compaction: file-layout observation — spec-gated, no oracle.
+    "sink_merge_upsert" ->
+      """WITH changeset AS (
+        |  SELECT o_orderkey AS c_key, o_custkey AS c_custkey, 'R' AS c_status,
+        |    o_totalprice * 1.1 AS c_price
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT -(o_orderkey + 1), o_custkey, 'N', o_totalprice * 0.5
+        |  FROM orders WHERE o_orderkey % 10 = 7)
+        |SELECT coalesce(c_key, o_orderkey) AS o_orderkey,
+        |  coalesce(c_custkey, o_custkey) AS o_custkey,
+        |  CASE WHEN c_key IS NOT NULL THEN c_status ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN c_key IS NOT NULL THEN c_price ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN c_key IS NULL THEN 'keep'
+        |       WHEN o_orderkey IS NULL THEN 'insert'
+        |       ELSE 'update' END AS op
+        |FROM orders FULL JOIN changeset ON o_orderkey = c_key
+        |ORDER BY o_orderkey""".stripMargin,
+  )
+}

@@ -58,6 +58,30 @@ object GraftProps extends Properties("graft") {
       last == xs.sum
     }
 
+  // skewed stream: a handful of hot values drowned in wide-range noise
+  private val genSkewedStream = Gen.nonEmptyListOf(Gen.frequency(
+    (3, Gen.chooseNum(0L, 4L)),
+    (7, Gen.chooseNum(100L, 100000L))))
+
+  property("Misra-Gries candidates cover every heavy hitter under chunked merge") =
+    forAllNoShrink(genSkewedStream, Gen.chooseNum(2, 16)) { (xs, chunkSize) =>
+      // pure-JVM check of the mergeable-summaries guarantee the aggregator
+      // relies on: reduce arbitrary chunks, merge the partials (as partial
+      // aggregation does across partitions), and the candidate set must
+      // still contain every item with true count > n/(k+1)
+      val k = 9
+      val mg = new graft.functions.MisraGries(k)
+      val summary = xs.grouped(chunkSize)
+        .map(_.foldLeft(mg.zero)(mg.reduce))
+        .reduce(mg.merge)
+      val cands = mg.finish(summary).ids.toSet
+      assert(cands.size <= k, s"sketch exceeded capacity: ${cands.size}")
+      val n = xs.size.toLong
+      xs.groupBy(identity).forall { case (v, occ) =>
+        occ.size.toLong * (k + 1) <= n || cands(v)
+      }
+    }
+
   private val genVec = Gen.listOfN(8, Gen.chooseNum(-10.0f, 10.0f))
     .suchThat(v => v.exists(_ != 0.0f))
 

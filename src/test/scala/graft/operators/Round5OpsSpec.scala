@@ -104,7 +104,10 @@ class Round5OpsSpec extends SparkSpec {
     assert(bars.filter(col("vwap") < col("lo") - 1e-4 || col("vwap") > col("hi") + 1e-4).count() === 0,
       "a weighted average cannot leave the price range")
     assert(bars.filter(col("volume") < 0).count() === 0)
-    assert(bars.filter(col("vwap").isNull =!= (col("volume") === 0)).count() === 0,
+    // null-safe <=> so NULL-volume bars (all sizes NULL) are asserted too:
+    // with =!=, `volume === 0` is NULL there, the comparison propagates NULL
+    // and the filter drops exactly the rows the invariant is about
+    assert(bars.filter(!(col("vwap").isNull <=> (coalesce(col("volume"), lit(0)) === 0))).count() === 0,
       "vwap is defined exactly on bars with positive volume")
     bars.unpersist()
   }
