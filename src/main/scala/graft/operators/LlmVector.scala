@@ -125,14 +125,29 @@ object LlmVector {
       .orderBy("a", "b")
   }
 
-  /** IVF cell index: coarse cells = per-label centroids (k-means with known
-    * assignments), components rounded to 4 decimals — the repo's margin for
+  /** IVF cell index: coarse cells = (label, sign-projection bucket)
+    * centroids, components rounded to 4 decimals — the repo's margin for
     * shuffle-order-dependent double sums — so both engines land on the same
     * value despite sum-order drift in the avg (6 decimals would sit ~100×
     * closer to the drift scale). Every vector is scored against all k
     * centroids via Fanout.broadcastAll — a broadcast HASH join (k rows —
     * dimension-table sized), never a nested-loop cross join — then ranked
-    * per vector. */
+    * per vector.
+    *
+    * CELL COUNT SCALES WITH THE CORPUS (round 6): with cells fixed to the
+    * 10 labels, per-cell size grows ∝N and the probe⋈index candidate join
+    * does O(N²/10) dot products — the ScaleStress harness measured
+    * llm_ann_ivf at 237× its base time on 30× data (the only super-linear
+    * query). Each label cell is therefore sub-divided by `b` sign bits of
+    * deterministic ±1 hyperplane projections (random-hyperplane LSH — sign
+    * agreement probability falls with angle, so cosine-close vectors land
+    * in the same bucket), b = clamp(ceil(log2(N/512)), 0, MaxBits): cell
+    * count tracks N at ~512 rows/cell and candidate work stays ~linear. At
+    * the oracle/test scale factors (N=500 ≤ 512 → b=0) the sub-division is
+    * the identity, so recall specs and small-SF behavior are unchanged; the
+    * hyperplanes are LCG-derived integer arithmetic the DuckDB oracle
+    * regenerates exactly, and the projection folds left-to-right in double
+    * on both engines, so bucket assignment is parity-exact at every SF. */
   /** Embedding dimensionality — schema-fixed (embeddings.embedding is
     * list<float>[64] at every scale factor; in a real deployment the dim is
     * part of the table contract). Keeping it a compile-time constant lets
@@ -157,6 +172,16 @@ object LlmVector {
   private val cellMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Releases this session's IVF serving caches (storage + memo), so the
+    * next touch rebuilds AND re-caches. For harnesses that sweep multiple
+    * datasets through one session (ScaleStress) — a bare
+    * `catalog.clearCache()` would drop the storage but leave the memoized
+    * plan unmarked, silently downgrading later runs to uncached recompute. */
+  private[graft] def releaseCellCache(spark: SparkSession): Unit =
+    cellMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
+      cellMemo.remove(k).foreach(_.unpersist())
+    }
+
   private def cellScored(spark: SparkSession, sfDir: String): DataFrame = {
     // evict entries whose session has been stopped: their storage is already
     // released with the SparkContext, but the map entry would otherwise pin
@@ -168,31 +193,70 @@ object LlmVector {
     cellMemo.getOrElseUpdate((spark, sfDir), buildCellScored(spark, sfDir))
   }
 
+  /** Max sign-projection bits per label cell (2^8 × 10 labels = 2560 cells
+    * at the cap; beyond that a production deployment re-derives centroids
+    * with k ∝ √N — the cap bounds the fixed hyperplane budget here). */
+  private val MaxBits = 8
+
+  /** Deterministic ±1 hyperplane component (j = hyperplane, i = dimension):
+    * one LCG step on (j·64+i+1), bit 16 selects the sign. Pure positive
+    * integer arithmetic, reproduced verbatim by the oracle SQL. */
+  private def hyperWeight(j: Int, i: Int): Double = {
+    val x = (j * Dim + i + 1).toLong * 1103515245L + 12345L
+    if (((x % 2147483648L) / 65536L) % 2 == 0L) 1.0 else -1.0
+  }
+
+  /** b = clamp(ceil(log2(N/512)), 0, MaxBits): cells track corpus size at
+    * ~512 rows/cell. Exact-integer log2 inputs (N a power-of-two multiple
+    * of 512) are exact doubles on both engines, so the ceil never straddles
+    * an engine-specific ulp. */
+  private def bucketBits(nTotal: Column): Column =
+    least(lit(MaxBits), greatest(lit(0), ceil(log2(nTotal / lit(512.0))))).cast("int")
+
+  /** Sign-bit bucket: bit j set iff hyperplane-j projection > 0, low b bits
+    * only. The projection folds left-to-right in double (zip_with +
+    * aggregate), matching DuckDB's list_aggregate('sum') fold, so the sign
+    * — and hence the bucket — is parity-exact. */
+  private def bucketCol(bBits: Column): Column =
+    (0 until MaxBits).map { j =>
+      val wj = array((0 until Dim).map(i => lit(hyperWeight(j, i))): _*)
+      val dj = aggregate(
+        zip_with(col("embedding"), wj, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(lit(j) < bBits && dj > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   private def buildCellScored(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = emb(spark, sfDir)
+    // corpus size → bucket bits, attached as a broadcast scalar (no collect)
+    val nRow = Tables.embeddings(spark, sfDir).agg(count(lit(1)).as("n_total"))
+    val e = Fanout.broadcastAll(emb(spark, sfDir), nRow, col("vec_id"), col("n_total"))
+      .withColumn("b_bits", bucketBits(col("n_total")))
+      .withColumn("vcell", col("label").cast("long") * 256L + bucketCol(col("b_bits")))
     val sums = (0 until Dim).map(i =>
       sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i"))
     val centroids = e
-      .groupBy(col("label").as("cell"))
+      .groupBy(col("vcell").as("cell"))
       .agg(count(lit(1)).as("n"), sums: _*)
       .select(col("cell"), array((0 until Dim).map(i =>
         round(col(s"s$i") / col("n"), 4).cast("float")): _*).as("centroid"))
       // norm once per centroid BEFORE the broadcast, not once per (vector, cell) pair
       .withColumn("centroid_nrm", norm("centroid"))
-    // Cached: the scored (vector × cell) relation is consumed twice per
-    // query (argmax index side + top-3 probe side) and by TWO declared
-    // queries (llm_ann_ivf, llm_knn_label) in the same session. Without the
-    // cache each consumer re-plans and re-codegens the whole centroid
-    // pipeline — ~5 s of one-time Janino/planning work per cold query vs
-    // ~1.8 s warm (measured at sf0.1). The cache entry is
-    // canonical-plan-keyed, so all consumers share it; it is k·n rows of
-    // narrow columns + one embedding copy — the same thing a real IVF
-    // deployment persists. Lazy (PlanSpec can still build plans without
-    // triggering jobs).
-    Fanout.broadcastAll(e, centroids, col("vec_id"), col("cell"))
+    // Cached NARROW (vec_id, cell, dist2cell): the scored (vector × cell)
+    // relation is consumed twice per query (argmax index side + top-3 probe
+    // side) and by TWO declared queries (llm_ann_ivf, llm_knn_label) in the
+    // same session; without the cache each consumer re-plans and re-codegens
+    // the whole centroid pipeline (~5 s one-time vs ~1.8 s warm at sf0.1).
+    // Round 6 dropped the embedding/nrm columns from this N×k fan-out: at
+    // 30× data the wide version cached ~64-float arrays per (vector, cell)
+    // pair — gigabytes of duplicated vectors and the measured GC wall —
+    // where the narrow one is 24 bytes/row; consumers re-attach embeddings
+    // by vec_id equi-join (linear). Lazy (PlanSpec can still build plans
+    // without triggering jobs).
+    Fanout.broadcastAll(emb(spark, sfDir).select("vec_id", "embedding", "nrm"),
+        centroids, col("vec_id"), col("cell"))
       .withColumn("dist2cell", dot("embedding", "centroid") /
         (col("nrm") * col("centroid_nrm")))
-      .select("vec_id", "cell", "embedding", "nrm", "dist2cell")
+      .select("vec_id", "cell", "dist2cell")
       .cache()
   }
 
@@ -208,15 +272,22 @@ object LlmVector {
     * baseline. This is the 100-TB similarity-search path. */
   private def annTopkCore(spark: SparkSession, sfDir: String): DataFrame = {
     val scored = cellScored(spark, sfDir)
-    val best = max(struct(col("dist2cell").as("d"), (lit(0) - col("cell")).as("nc"),
-      col("embedding").as("e"), col("nrm").as("m")))
+    // scored is narrow (round 6) — embeddings re-attach by vec_id equi-join
+    // (linear, broadcast at small N / shuffled at scale) instead of riding
+    // every (vector, cell) row through the argmax struct
+    val vecs = emb(spark, sfDir).select("vec_id", "embedding", "nrm")
+    val best = max(struct(col("dist2cell").as("d"), (lit(0L) - col("cell")).as("nc")))
     val indexed = scored.groupBy("vec_id").agg(best.as("b0"))
-      .select(col("vec_id").as("b"), (lit(0) - col("b0.nc")).as("cell"),
-        col("b0.e").as("eb"), col("b0.m").as("nb"))
+      .select(col("vec_id"), (lit(0L) - col("b0.nc")).as("cell"))
+      .join(vecs, "vec_id")
+      .select(col("vec_id").as("b"), col("cell"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
     val wCell = Window.partitionBy("vec_id").orderBy(desc("dist2cell"), asc("cell"))
     val probes = scored.withColumn("cell_rank", row_number().over(wCell))
       .filter(col("cell_rank") <= 3)
-      .select(col("vec_id").as("a"), col("cell"), col("embedding").as("ea"), col("nrm").as("na"))
+      .join(vecs, "vec_id")
+      .select(col("vec_id").as("a"), col("cell"),
+        col("embedding").as("ea"), col("nrm").as("na"))
     // The cell id alone has only k distinct values, and the shuffled bytes
     // are small enough that AQE coalesces the probe⋈index join to ONE
     // partition — which serializes every candidate dot product into a
@@ -336,20 +407,47 @@ object LlmVector {
       |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))""".stripMargin
 
   /** DuckDB replay of the deterministic IVF pipeline (cellScored +
-    * annTopkCore): rounded per-label centroids cast to REAL, all-cell
-    * scoring, rank-1 index / rank≤3 probes, candidate pairs with exact
-    * per-pair cosine. Ends with a `cand(a, b, cos)` CTE. */
+    * annTopkCore): composite (label, sign-bucket) cells with the same
+    * LCG-derived hyperplanes and count-driven bit budget as the engine,
+    * rounded centroids cast to REAL, all-cell scoring, rank-1 index /
+    * rank≤3 probes, candidate pairs with exact per-pair cosine. Ends with
+    * a `cand(a, b, cos)` CTE. */
   private val ivfSql =
     """ex AS (
-      |  SELECT vec_id, embedding,
+      |  SELECT vec_id, label, embedding,
       |    sqrt(list_aggregate(list_transform(embedding,
       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
       |  FROM embeddings),
+      |bparam AS (
+      |  SELECT LEAST(8, GREATEST(0, CAST(ceil(log2(count(*) / 512.0)) AS INT))) AS b
+      |  FROM embeddings),
+      |wgt AS (
+      |  SELECT j, list(CASE WHEN ((((j * 64 + i + 1) * 1103515245 + 12345)
+      |                             % 2147483648) // 65536) % 2 = 0
+      |                 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
+      |                 ORDER BY i) AS w
+      |  FROM range(0, 8) t(j), range(0, 64) s(i)
+      |  GROUP BY j),
+      |sgn AS (
+      |  SELECT e.vec_id, w.j,
+      |    list_aggregate(list_transform(list_zip(e.embedding, w.w),
+      |      p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum') AS d
+      |  FROM ex e CROSS JOIN wgt w CROSS JOIN bparam WHERE w.j < bparam.b),
+      |buck AS (
+      |  SELECT e.vec_id,
+      |    CAST(coalesce(sum(CASE WHEN s.d > 0
+      |      THEN (CAST(1 AS BIGINT) << s.j) ELSE 0 END), 0) AS BIGINT) AS bucket
+      |  FROM ex e LEFT JOIN sgn s ON e.vec_id = s.vec_id
+      |  GROUP BY e.vec_id),
+      |exc AS (
+      |  SELECT e.vec_id, e.embedding, e.nrm,
+      |    CAST(e.label AS BIGINT) * 256 + bk.bucket AS vcell
+      |  FROM ex e JOIN buck bk ON e.vec_id = bk.vec_id),
       |cpos AS (
-      |  SELECT label AS cell, pos, round(avg(CAST(v AS DOUBLE)), 4) AS cv
-      |  FROM (SELECT label, unnest(embedding) AS v,
-      |          generate_subscripts(embedding, 1) AS pos FROM embeddings)
-      |  GROUP BY label, pos),
+      |  SELECT vcell AS cell, pos, round(avg(CAST(v AS DOUBLE)), 4) AS cv
+      |  FROM (SELECT vcell, unnest(embedding) AS v,
+      |          generate_subscripts(embedding, 1) AS pos FROM exc)
+      |  GROUP BY vcell, pos),
       |centn AS (
       |  SELECT cell, centroid,
       |    sqrt(list_aggregate(list_transform(centroid,
