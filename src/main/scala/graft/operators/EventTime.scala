@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -137,7 +138,45 @@ object EventTime {
       .orderBy("cur", "nxt")
   }
 
+  /** Attribution lookback: a purchase is credited to the latest click no
+    * more than 6 hours before it. */
+  private val AttributionWindowUs = 6L * 3600L * 1000000L
+
+  /** Last-touch attribution — the marketing-analytics staple: each purchase
+    * is credited to the user's most recent click within the 6-hour lookback,
+    * and credited value is reported per click hour-of-day (UTC; the
+    * "channel" proxy this schema offers). NULL hour = unattributed (no prior
+    * click, or the last click is stale).
+    *
+    * The as-of lookup is a running `max` of click times over a
+    * (user, time)-ordered window — the latest click so far IS the max, so
+    * no ignoreNulls/last() semantics are in play and ties on the same
+    * microsecond break identically on both engines via event_id. One shuffle
+    * on user_id, per-user state is one value: linear at any scale, the same
+    * shape streaming attribution runs under mapGroupsWithState. Hour-of-day
+    * is integer epoch math (`us DIV 3.6e9 % 24`), bit-identical on both
+    * engines. */
+  def evtAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_id", "user_id", "event_type", "value", "epoch_us")
+    val w = Window.partitionBy("user_id").orderBy("epoch_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("click_us",
+        max(when(col("event_type") === "click", col("epoch_us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("attr_hour",
+        when(col("epoch_us") - col("click_us") <= AttributionWindowUs,
+          expr("click_us DIV 3600000000") % 24))
+      .groupBy("attr_hour")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum("value"), 2).as("attributed_value"))
+      .orderBy("attr_hour")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_attribution" -> evtAttribution,
     "evt_markov" -> evtMarkov,
     "evt_tumbling" -> evtTumbling,
     "evt_sliding" -> evtSliding,
@@ -149,6 +188,20 @@ object EventTime {
   )
 
   val oracles: Map[String, String] = Map(
+    "evt_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS e_us
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |tagged AS (
+        |  SELECT *, max(CASE WHEN event_type = 'click' THEN e_us END) OVER
+        |    (PARTITION BY user_id ORDER BY e_us, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_us
+        |  FROM ev)
+        |SELECT CASE WHEN e_us - click_us <= 21600000000
+        |            THEN (click_us // 3600000000) % 24 END AS attr_hour,
+        |  count(*) AS n_purchases, round(sum(value), 2) AS attributed_value
+        |FROM tagged WHERE event_type = 'purchase'
+        |GROUP BY attr_hour ORDER BY attr_hour NULLS FIRST""".stripMargin,
     "evt_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS ws,
         |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value

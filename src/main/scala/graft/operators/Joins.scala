@@ -170,7 +170,45 @@ object Joins {
       .orderBy("s_name")
   }
 
+  /** Runtime-bloom-filter semi-join: revenue of lineitems belonging to
+    * URGENT orders, with the fact side pre-filtered by a bloom sketch of the
+    * build side's keys BEFORE the exchange — the semi-join pushdown every
+    * 100 TB engine runs (Spark's own injected runtime filters produce the
+    * same shape; here it's explicit so the mechanism is a declared,
+    * oracle-checked operator).
+    *
+    * Build: one pass over the (already filtered) orders side builds a
+    * driver-held sketch sized from its exact count at 1% fpp — KBs at test
+    * SF, and bounded by the BUILD side at any scale (broadcast-equivalent;
+    * this is NOT a fact-sized collect). Probe: `graft_bloom_might_contain`,
+    * a codegen'd native expression, drops non-matching fact rows at the
+    * scan. The exact semi-join after it removes bloom false positives, so
+    * the composition is EXACTLY the semi-join — which is what the DuckDB
+    * oracle checks (any false-negative bug would drop rows and fail the
+    * hash compare). Round6bOpsSpec additionally asserts prefilter
+    * selectivity and bloom/exact agreement. */
+  def joinBloomPrefilter(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.BloomExprs.register(spark)
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val bf = urgent.stat.bloomFilter("o_orderkey", math.max(urgent.count(), 1L), 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    Tables.lineitem(spark, sfDir)
+      .filter(call_function("graft_bloom_might_contain", lit(bytes), col("l_orderkey")))
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bloom_prefilter" -> joinBloomPrefilter,
     "join_skew_salted" -> joinSkewSalted,
     "join_inner_hash" -> joinInnerHash,
     "join_broadcast" -> joinBroadcast,
@@ -186,6 +224,13 @@ object Joins {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_bloom_prefilter" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "join_skew_salted" ->
       """SELECT s_name, count(*) AS n_items,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

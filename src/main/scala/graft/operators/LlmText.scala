@@ -657,7 +657,60 @@ object LlmText {
       .orderBy("lang", "source")
   }
 
+  /** Deterministic stratified train/val/test split — the dataset-assembly
+    * step before every training run. Assignment hashes the NORMALIZED TEXT
+    * (not the doc id): identical documents always land in the same subset,
+    * so near-miss dedup can never leak a train doc into test. Thresholds
+    * are md5-hex prefixes ('cc' ≈ 204/256 ≈ 0.797, 'e6' ≈ 230/256 ≈ 0.898 →
+    * ~80/10/10), the same engine-portable sampling trick as llm_doc_sample.
+    * Per-(lang, subset) counts verify the split is stratification-stable:
+    * a content hash is language-independent, so each lang's fractions track
+    * the global ones. One shuffle on the tiny (lang, subset) agg key; the
+    * per-lang fraction rides a window over the ≤15-row aggregate. */
+  def llmSplitStratified(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .withColumn("subset",
+        when(md5(col("norm")) < "cc", lit("train"))
+          .when(md5(col("norm")) < "e6", lit("val"))
+          .otherwise(lit("test")))
+      .groupBy("lang", "subset")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("norm"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("frac",
+        round(col("n_docs") / sum("n_docs").over(Window.partitionBy("lang")), 4))
+      .orderBy("lang", "subset")
+
+  /** Domain re-balancing by deterministic per-document sampling — applies
+    * llm_domain_mix's sqrt-damped weights: each (lang, source) domain keeps
+    * documents at `min(1, weight·N/n_domain)`, down-sampling over-represented
+    * domains toward the temperature-damped mixture. The keep decision is a
+    * pure LCG on doc_id — `(doc_id·48271) mod (2³¹−1) / (2³¹−1)` — integer
+    * math below 2⁶³ that both engines (and any re-run) reproduce exactly, so
+    * the sample is stable across engines and incremental reloads. Rates are
+    * a per-domain aggregate (cardinality = #domains, never rows) joined back
+    * broadcast; one fact-sized pass, two shuffles on the domain key. */
+  def llmDomainResample(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = docs(spark, sfDir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("norm"), " ")).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum(sqrt(col("n_tokens"))).as("t"), sum("n_docs").as("n_total"))
+    val rates = Fanout.broadcastAll(per, tot, col("lang"), col("t"))
+      .withColumn("keep_rate",
+        least(lit(1.0),
+          round(round(sqrt(col("n_tokens")) / col("t"), 6) * col("n_total") / col("n_docs"), 6)))
+      .select(col("lang"), col("source"), col("n_docs").as("n_before"), col("keep_rate"))
+    docs(spark, sfDir)
+      .withColumn("u", (col("doc_id") * 48271 % 2147483647).cast("double") / 2147483647.0)
+      .join(broadcast(rates), Seq("lang", "source"))
+      .groupBy("lang", "source", "n_before", "keep_rate")
+      .agg(count_if(col("u") < col("keep_rate")).as("n_kept"))
+      .orderBy("lang", "source")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_split_stratified" -> llmSplitStratified,
+    "llm_domain_resample" -> llmDomainResample,
     "llm_vocab_coverage" -> llmVocabCoverage,
     "llm_bm25" -> llmBm25,
     "llm_pmi" -> llmPmi,
@@ -688,6 +741,36 @@ object LlmText {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_split_stratified" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    CASE WHEN md5(lower(trim(text))) < 'cc' THEN 'train'
+        |         WHEN md5(lower(trim(text))) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS subset,
+        |    len(string_split(lower(trim(text)), ' ')) AS toks
+        |  FROM documents)
+        |SELECT lang, subset, count(*) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |  round(count(*) / sum(count(*)) OVER (PARTITION BY lang), 4) AS frac
+        |FROM s GROUP BY lang, subset
+        |ORDER BY lang, subset""".stripMargin,
+    "llm_domain_resample" ->
+      """WITH per AS (
+        |  SELECT lang, source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(lower(trim(text)), ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT sum(sqrt(n_tokens)) AS t, CAST(sum(n_docs) AS BIGINT) AS n_total
+        |        FROM per),
+        |rates AS (
+        |  SELECT lang, source, n_docs AS n_before,
+        |    least(CAST(1.0 AS DOUBLE), round(round(sqrt(n_tokens) / t, 6) * n_total / n_docs, 6)) AS keep_rate
+        |  FROM per CROSS JOIN tot)
+        |SELECT d.lang, d.source, r.n_before, r.keep_rate,
+        |  count(*) FILTER (WHERE (d.doc_id * 48271) % 2147483647 / 2147483647.0 < r.keep_rate)
+        |    AS n_kept
+        |FROM documents d JOIN rates r ON d.lang = r.lang AND d.source = r.source
+        |GROUP BY d.lang, d.source, r.n_before, r.keep_rate
+        |ORDER BY d.lang, d.source""".stripMargin,
     "llm_vocab_coverage" ->
       """WITH tok AS (
         |  SELECT unnest(string_split(lower(trim(text)), ' ')) AS token

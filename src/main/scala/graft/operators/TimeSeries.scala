@@ -201,7 +201,43 @@ object TimeSeries {
       .orderBy("seg", "day")
   }
 
+  /** Lead-lag cross-correlation — does a segment's daily return LEAD or LAG
+    * the market's? For each segment, the Pearson correlation of its return
+    * series against the market return shifted by −2..+2 trading days (the
+    * lag whose correlation peaks is the lead-lag estimate, the classic
+    * price-discovery diagnostic). Inputs are pinned exactly like win_beta
+    * (revenues rounded at 2, returns at 6 BEFORE the correlation, so both
+    * engines correlate identical series); shifts are lag/lead over each
+    * segment's observed trading days. Only the daily aggregation is
+    * fact-sized; the five correlations are ONE grouped pass over the tiny
+    * per-(seg, day) series — wide output, no second shuffle per lag. */
+  def tsLeadLagCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), to_date(col("o_orderdate")).as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+    val mkt = daily.groupBy("day").agg(round(sum("rev"), 2).as("mrev"))
+    val w = Window.partitionBy("seg").orderBy("day")
+    val rets = daily.join(mkt, "day")
+      .withColumn("ret", round(col("rev") / lag("rev", 1).over(w) - 1.0, 6))
+      .withColumn("mret", round(col("mrev") / lag("mrev", 1).over(w) - 1.0, 6))
+    rets
+      .withColumn("m_m2", lag("mret", 2).over(w))
+      .withColumn("m_m1", lag("mret", 1).over(w))
+      .withColumn("m_p1", lead("mret", 1).over(w))
+      .withColumn("m_p2", lead("mret", 2).over(w))
+      .groupBy("seg")
+      .agg(
+        round(corr("ret", "m_m2"), 4).as("corr_m2"),
+        round(corr("ret", "m_m1"), 4).as("corr_m1"),
+        round(corr("ret", "mret"), 4).as("corr_0"),
+        round(corr("ret", "m_p1"), 4).as("corr_p1"),
+        round(corr("ret", "m_p2"), 4).as("corr_p2"))
+      .orderBy("seg")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_lead_lag_corr" -> tsLeadLagCorr,
     "win_beta" -> winBeta,
     "ts_vwap" -> tsVwap,
     "ts_rolling_vol" -> tsRollingVol,
@@ -213,6 +249,30 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "ts_lead_lag_corr" ->
+      """WITH daily AS (
+        |  SELECT c_mktsegment AS seg, CAST(o_orderdate AS DATE) AS day,
+        |    round(sum(o_totalprice), 2) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |mkt AS (SELECT day, round(sum(rev), 2) AS mrev FROM daily GROUP BY day),
+        |rets AS (
+        |  SELECT seg, daily.day,
+        |    round(rev / lag(rev, 1) OVER w - 1.0, 6) AS ret,
+        |    round(mrev / lag(mrev, 1) OVER w - 1.0, 6) AS mret
+        |  FROM daily JOIN mkt ON daily.day = mkt.day
+        |  WINDOW w AS (PARTITION BY seg ORDER BY daily.day)),
+        |lagged AS (
+        |  SELECT seg, ret, mret,
+        |    lag(mret, 2) OVER w AS m_m2, lag(mret, 1) OVER w AS m_m1,
+        |    lead(mret, 1) OVER w AS m_p1, lead(mret, 2) OVER w AS m_p2
+        |  FROM rets WINDOW w AS (PARTITION BY seg ORDER BY day))
+        |SELECT seg,
+        |  round(corr(ret, m_m2), 4) AS corr_m2,
+        |  round(corr(ret, m_m1), 4) AS corr_m1,
+        |  round(corr(ret, mret), 4) AS corr_0,
+        |  round(corr(ret, m_p1), 4) AS corr_p1,
+        |  round(corr(ret, m_p2), 4) AS corr_p2
+        |FROM lagged GROUP BY seg ORDER BY seg""".stripMargin,
     "ts_vwap" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar,
         |  CASE WHEN sum(sz) > 0
