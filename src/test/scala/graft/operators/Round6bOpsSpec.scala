@@ -83,6 +83,32 @@ class Round6bOpsSpec extends SparkSpec {
     }
   }
 
+  test("compacted sorted layout measurably skips row groups for key-range scans") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    Sinks.sinkCompaction(spark, sf001).collect(): Unit
+    val tmp = s"${Scans.tmpRoot(spark)}/compact_lineitem"
+    val all = spark.read.parquet(tmp)
+    val total = all.count()
+    // a predicate inside the FIRST file's key range: disjoint per-file
+    // ranges + parquet footer min/max should let the reader skip the rest
+    val loKey = all.agg(min("l_orderkey")).collect()(0).getLong(0)
+    val narrow = spark.read.parquet(tmp).filter(col("l_orderkey") <= loKey + 10)
+    narrow.collect(): Unit
+    val plan = narrow.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = plan.collect { case s: FileSourceScanExec => s }.head
+    assert(scan.metadata.getOrElse("PushedFilters", "[]") != "[]",
+      "key filter did not reach the parquet scan")
+    val scanned = scan.metrics("numOutputRows").value
+    // 4 balanced range-partitioned files ⇒ the narrow scan must touch ~1 of
+    // them; 40% leaves slack for range-sampling imbalance
+    assert(scanned <= (total * 0.4).toLong,
+      s"scan emitted $scanned of $total rows — row-group skipping not effective")
+  }
+
   test("incremental agg merge joins view⋈deltas, never re-aggregating the base twice") {
     val plan = Aggregations.aggIncremental(spark, sf001).queryExecution
       .explainString(ExplainMode.fromString("formatted"))
