@@ -175,7 +175,44 @@ object EventTime {
       .orderBy("attr_hour")
   }
 
+  private val WeekUs = 7L * 86400L * 1000000L
+
+  /** Cohort lifetime value — the growth-analytics matrix next to
+    * evt_retention's user counts: users cohorted by signup week (epoch-week
+    * integer), their post-signup purchase value aggregated per weeks-since-
+    * signup, with the cumulative running LTV and per-cohort-user
+    * normalization every dashboard plots. All bucketing is integer epoch
+    * math (exact on both engines); the running sum accumulates 2-decimal
+    * pinned values over a ≤5-row-per-cohort frame. Two fact passes (signup
+    * argmin, purchase join on user), both shuffling on user_id; the cohort
+    * size table is bounded by #weeks — broadcast. */
+  def evtCohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("epoch_us").as("s_us"))
+      .withColumn("cohort_week", expr(s"s_us DIV $WeekUs"))
+    val cohortSize = signup.groupBy("cohort_week")
+      .agg(countDistinct("user_id").as("cohort_users"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "epoch_us", "value")
+    val weekly = purch.join(signup, "user_id")
+      .filter(col("epoch_us") >= col("s_us"))
+      .groupBy(col("cohort_week"),
+        expr(s"(epoch_us - s_us) DIV $WeekUs").as("week_idx"))
+      .agg(round(sum("value"), 2).as("rev"),
+        countDistinct("user_id").as("buyers"))
+    val w = Window.partitionBy("cohort_week").orderBy("week_idx")
+    weekly
+      .withColumn("cum_rev", round(sum("rev").over(w), 2))
+      .join(broadcast(cohortSize), "cohort_week")
+      .select(col("cohort_week"), col("week_idx"), col("rev"), col("buyers"),
+        col("cum_rev"),
+        round(col("cum_rev") / col("cohort_users"), 4).as("ltv_per_user"))
+      .orderBy("cohort_week", "week_idx")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_cohort_ltv" -> evtCohortLtv,
     "evt_attribution" -> evtAttribution,
     "evt_markov" -> evtMarkov,
     "evt_tumbling" -> evtTumbling,
@@ -188,6 +225,30 @@ object EventTime {
   )
 
   val oracles: Map[String, String] = Map(
+    "evt_cohort_ltv" ->
+      """WITH signup AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS s_us,
+        |    min(epoch_us(ts)) // 604800000000 AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |csize AS (
+        |  SELECT cohort_week, CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_users
+        |  FROM signup GROUP BY cohort_week),
+        |weekly AS (
+        |  SELECT s.cohort_week,
+        |    (epoch_us(p.ts) - s.s_us) // 604800000000 AS week_idx,
+        |    round(sum(p.value), 2) AS rev,
+        |    CAST(count(DISTINCT p.user_id) AS BIGINT) AS buyers
+        |  FROM events p JOIN signup s ON p.user_id = s.user_id
+        |  WHERE p.event_type = 'purchase' AND epoch_us(p.ts) >= s.s_us
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT *, round(sum(rev) OVER (PARTITION BY cohort_week
+        |    ORDER BY week_idx), 2) AS cum_rev
+        |  FROM weekly)
+        |SELECT cohort_week, week_idx, rev, buyers, cum_rev,
+        |  round(cum_rev / cohort_users, 4) AS ltv_per_user
+        |FROM cum JOIN csize USING (cohort_week)
+        |ORDER BY cohort_week, week_idx""".stripMargin,
     "evt_attribution" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS e_us

@@ -207,7 +207,39 @@ object Joins {
       .orderBy("l_returnflag")
   }
 
+  /** Fuzzy string-match self-join — entity-resolution's workhorse: customer
+    * name pairs within edit distance 2, blocked on (nation, mktsegment) so
+    * candidate pairs are generated per block, never all-pairs. The equi
+    * terms keep this a hash join with `levenshtein ≤ 2` (codegen'd on both
+    * engines) as a post-filter; `custkey < custkey` deduplicates the
+    * symmetric pair. Block sizing is the operator's scale knob: cost is
+    * Σ block², so the block key must keep blocks bounded as the corpus
+    * grows (nation alone left 600-row blocks at sf0.1 — 4.5M distance
+    * evaluations, measured 16 s; the segment refinement cuts it 5×, and at
+    * 100 TB a further name-prefix/length band does the same again).
+    * Output is the per-nation pair census. */
+  def joinFuzzyMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val a = c.select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+      col("c_custkey").as("k1"), col("c_name").as("name1"))
+    val b = c.select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+      col("c_custkey").as("k2"), col("c_name").as("name2"))
+    // threshold form = banded DP (O(k·n) per pair, early exit; returns -1
+    // beyond the bound) — measured 3.65→2.6 s at sf0.1 over the full O(n·m)
+    // distance. Semantics identical to `levenshtein(a,b) <= 2`, which is
+    // what the DuckDB oracle replays.
+    a.join(b, Seq("nk", "seg"))
+      .filter(col("k1") < col("k2") &&
+        levenshtein(col("name1"), col("name2"), 2) =!= -1)
+      .join(broadcast(Tables.nation(spark, sfDir)), col("nk") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct("k1").as("n_anchors"))
+      .orderBy("n_name")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_fuzzy_match" -> joinFuzzyMatch,
     "join_bloom_prefilter" -> joinBloomPrefilter,
     "join_skew_salted" -> joinSkewSalted,
     "join_inner_hash" -> joinInnerHash,
@@ -224,6 +256,16 @@ object Joins {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_fuzzy_match" ->
+      """SELECT n_name, count(*) AS n_pairs,
+        |  CAST(count(DISTINCT a.c_custkey) AS BIGINT) AS n_anchors
+        |FROM customer a
+        |JOIN customer b ON a.c_nationkey = b.c_nationkey
+        | AND a.c_mktsegment = b.c_mktsegment
+        | AND a.c_custkey < b.c_custkey
+        | AND levenshtein(a.c_name, b.c_name) <= 2
+        |JOIN nation ON a.c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "join_bloom_prefilter" ->
       """SELECT l_returnflag, count(*) AS n_lines,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

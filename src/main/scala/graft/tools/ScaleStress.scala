@@ -37,13 +37,17 @@ object ScaleStress {
 
   /** The queries whose 100×-scale story the repo claims: the flagship agg,
     * fact-fact joins, sessionization, a window, two heavy TPC-H idioms, the
-    * dedup family, IVF ANN, heavy hitters, and the merge sink. */
+    * dedup family, IVF ANN, heavy hitters, the merge sink, and the
+    * round-6b additions (bloom semi-join pushdown, IVM merge, attribution
+    * as-of, domain resampling). */
   private[tools] val headline = Seq(
     "agg_pricing_summary", "scan_pruned", "join_inner_hash", "join_asof",
     "q9_product_profit", "q21_sole_latest_supplier", "evt_session",
     "win_topk_per_group", "llm_dedup_exact", "llm_chunk_dedup",
     "llm_ngram_jaccard", "llm_ann_ivf", "llm_dedup_cluster",
-    "agg_freq_items", "sink_merge_upsert")
+    "agg_freq_items", "sink_merge_upsert",
+    "join_bloom_prefilter", "agg_incremental", "evt_attribution",
+    "llm_domain_resample")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

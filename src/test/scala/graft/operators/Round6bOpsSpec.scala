@@ -83,6 +83,45 @@ class Round6bOpsSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy join pairs are genuinely within distance 2 and block-consistent") {
+    val out = Joins.joinFuzzyMatch(spark, sf01)
+    val rows = out.collect()
+    assert(rows.nonEmpty, "sf0.01 customer names must yield some near-pairs")
+    // re-derive one nation's pairs without the join to confirm the census
+    val c = Tables.customer(spark, sf01)
+      .select("c_nationkey", "c_mktsegment", "c_custkey", "c_name").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val nation0 = c.filter(_._1 == c.head._1)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      (_, s1, k1, n1) <- nation0; (_, s2, k2, n2) <- nation0
+      if s1 == s2 && k1 < k2 && lev(n1, n2) <= 2
+    } yield 1).size.toLong
+    val nationName = spark.read.parquet(s"$sf01/nation.parquet")
+      .filter(col("n_nationkey") === c.head._1).collect()(0).getString(1)
+    val got = rows.find(_.getString(0) == nationName).map(_.getLong(1)).getOrElse(0L)
+    assert(got === expected, s"pair census for $nationName")
+  }
+
+  test("cohort LTV is cumulative-consistent and bounded by cohort size") {
+    val rows = EventTime.evtCohortLtv(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, cohort) =>
+      val byWeek = cohort.sortBy(_.getLong(1))
+      val cums = byWeek.map(_.getDouble(4))
+      assert(cums.zip(cums.tail).forall { case (a, b) => b >= a - 1e-9 },
+        "cumulative LTV must be non-decreasing")
+      // first week's cumulative equals its own revenue
+      assert(math.abs(byWeek.head.getDouble(4) - byWeek.head.getDouble(2)) < 1e-9)
+    }
+  }
+
   test("compacted sorted layout measurably skips row groups for key-range scans") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
