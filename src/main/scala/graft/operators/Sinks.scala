@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -111,9 +111,74 @@ object Sinks {
         max("l_orderkey").as("max_key"))
   }
 
+  private[operators] val ZorderFiles = 8
+
+  /** Spread the low 16 bits of `c` (long) to the even bit positions —
+    * the magic-number interleave step of a Morton/Z-order code. All plain
+    * bitwise Column ops: fully codegen'd, no UDF. */
+  private def spread16(c: Column): Column = {
+    val s1 = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+    s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-order (Morton) clustering sink — the multi-dimensional layout
+    * optimization lakehouses run as OPTIMIZE ZORDER BY: lineitem rewritten
+    * in `ZorderFiles` range-partitioned files ordered by the interleaved
+    * bits of (l_orderkey, l_partkey), each first bucketized to 16 bits
+    * against its global min/max (a broadcast 1-row aggregate via Fanout).
+    * A single-column sort gives later scans min/max pruning on ONE
+    * dimension and leaves the other's per-file span at ~100%; the z-curve
+    * splits BOTH spans, so predicates on either key (or both) skip files.
+    * Returns a one-row summary computed FROM THE WRITTEN COPY: file/row
+    * counts plus the MEAN per-file relative span on each dimension. Mean,
+    * not max: the one file straddling a high-order z boundary legitimately
+    * covers the full span of one dimension (measured 0.996 in simulation
+    * and on disk), while the mean stays ≈0.5/0.35 — versus ~1.0 on the
+    * unsorted dimension of any 1-D layout, which is what Round6bOpsSpec
+    * bounds (≤0.7 on BOTH dims). No DuckDB oracle: file layout isn't
+    * observable from SQL; row preservation is asserted in the spec. */
+  def sinkZorder(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = s"${Scans.tmpRoot(spark)}/zorder_lineitem"
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    val bounds = li.agg(
+      min("l_orderkey").as("o_lo"), max("l_orderkey").as("o_hi"),
+      min("l_partkey").as("p_lo"), max("l_partkey").as("p_hi"))
+    Fanout.broadcastAll(li, bounds, col("l_orderkey"), col("o_lo"))
+      .withColumn("o16",
+        expr("((l_orderkey - o_lo) * 65535) DIV greatest(o_hi - o_lo, 1)"))
+      .withColumn("p16",
+        expr("((l_partkey - p_lo) * 65535) DIV greatest(p_hi - p_lo, 1)"))
+      .withColumn("z", spread16(col("o16")).bitwiseOR(shiftleft(spread16(col("p16")), 1)))
+      .repartitionByRange(ZorderFiles, col("z"))
+      .sortWithinPartitions("z")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(out)
+    val rd = spark.read.parquet(out)
+      .select(input_file_name().as("f"), col("l_orderkey"), col("l_partkey"))
+    val perFile = rd.groupBy("f").agg(
+      min("l_orderkey").as("olo"), max("l_orderkey").as("ohi"),
+      min("l_partkey").as("plo"), max("l_partkey").as("phi"),
+      count(lit(1)).as("n"))
+    val global = rd.agg(
+      min("l_orderkey").as("g_olo"), max("l_orderkey").as("g_ohi"),
+      min("l_partkey").as("g_plo"), max("l_partkey").as("g_phi"))
+    Fanout.broadcastAll(perFile, global, col("olo"), col("g_olo"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum("n").as("n_rows"),
+        round(avg((col("ohi") - col("olo")).cast("double") /
+          greatest(col("g_ohi") - col("g_olo"), lit(1L))), 4).as("avg_relspan_orderkey"),
+        round(avg((col("phi") - col("plo")).cast("double") /
+          greatest(col("g_phi") - col("g_plo"), lit(1L))), 4).as("avg_relspan_partkey"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sink_merge_upsert" -> sinkMergeUpsert,
     "sink_compaction" -> sinkCompaction,
+    "sink_zorder" -> sinkZorder,
   )
 
   val oracles: Map[String, String] = Map(

@@ -98,4 +98,21 @@ object GraftProps extends Properties("graft") {
       val self = r.getDouble(1)
       cos >= -1.0000001 && cos <= 1.0000001 && math.abs(self - 1.0) < 1e-9
     }
+
+  private val genKeys = Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+
+  // The bloom prefilter's correctness rests entirely on "no false
+  // negatives": a missed member silently DROPS fact rows before the exact
+  // confirm join can see them. The codegen expression must probe with the
+  // same hash the builder inserted with, for any long key.
+  property("bloom codegen probe never false-negatives on inserted keys") =
+    forAllNoShrink(genKeys) { keys =>
+      import spark.implicits._
+      graft.functions.BloomExprs.register(spark)
+      val bf = keys.toDF("k").stat.bloomFilter("k", math.max(keys.size.toLong, 1L), 0.01)
+      val bytes = { val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b); b.toByteArray }
+      keys.toDF("k")
+        .filter(!call_function("graft_bloom_might_contain", lit(bytes), col("k")))
+        .count() == 0L
+    }
 }

@@ -148,6 +148,17 @@ class Round6bOpsSpec extends SparkSpec {
       s"scan emitted $scanned of $total rows — row-group skipping not effective")
   }
 
+  test("z-order layout bounds per-file spans on BOTH clustering dimensions") {
+    val row = Sinks.sinkZorder(spark, sf001).collect()(0)
+    assert(row.getLong(0) === Sinks.ZorderFiles.toLong, "file count")
+    assert(row.getLong(1) === Tables.lineitem(spark, sf001).count(), "row preservation")
+    // a 1-D sort leaves the OTHER dimension's MEAN per-file span at ~100%;
+    // the z-curve bounds both means (≈0.5 and ≈0.35 measured — individual
+    // boundary-straddling files may still cover a full span, hence mean)
+    assert(row.getDouble(2) <= 0.7, s"orderkey spans not clustered: $row")
+    assert(row.getDouble(3) <= 0.7, s"partkey spans not clustered: $row")
+  }
+
   test("incremental agg merge joins view⋈deltas, never re-aggregating the base twice") {
     val plan = Aggregations.aggIncremental(spark, sf001).queryExecution
       .explainString(ExplainMode.fromString("formatted"))
