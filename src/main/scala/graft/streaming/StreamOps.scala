@@ -89,4 +89,42 @@ object StreamOps {
           (user, total)
       }
   }
+
+  /** Last-touch attribution as a stateful stream — the online form of the
+    * batch `EventTime.evtAttribution` as-of lookup. Per-user state is ONE
+    * long (the latest click's epoch-µs); each purchase is emitted exactly
+    * once with the click hour it attributes to (None = no prior click in
+    * the lookback). Within a micro-batch, events are applied in
+    * (epoch_us, id) order — the same total order the batch window uses —
+    * so an in-order stream reproduces the batch result row for row
+    * (StreamingSpec asserts exact parity against the batch operator on the
+    * sf0.001 events). State is O(users), independent of stream length. */
+  def streamAttribution(events: Dataset[AttrEvt], windowUs: Long)
+      : Dataset[(Long, Long, Double, Option[Long])] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[AttrEvt], state: GroupState[Long]) =>
+          var lastClick = state.getOption.getOrElse(Long.MinValue)
+          val out = Vector.newBuilder[(Long, Long, Double, Option[Long])]
+          batch.toVector.sortBy(e => (e.us, e.id)).foreach { e =>
+            if (e.etype == "click") {
+              if (e.us > lastClick) lastClick = e.us
+            } else if (e.etype == "purchase") {
+              val attr =
+                if (lastClick != Long.MinValue && e.us - lastClick <= windowUs)
+                  Some((lastClick / 3600000000L) % 24)
+                else None
+              out += ((user, e.id, e.value, attr))
+            }
+          }
+          if (lastClick != Long.MinValue) state.update(lastClick)
+          out.result().iterator
+      }
+  }
 }
+
+/** Event record for the attribution stream: epoch-µs long timestamps (the
+  * events table is µs-precision; java.sql.Timestamp's ms `getTime` would
+  * truncate and break parity with the batch operator's integer math). */
+case class AttrEvt(us: Long, user: Long, etype: String, value: Double, id: Long)

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 import graft.SparkSpec
 import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
 /** Structured Streaming semantics (SURVEY.md §2.9 ✗-oracle rows): watermarks,
@@ -166,6 +167,40 @@ class StreamingSpec extends SparkSpec {
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }
+  }
+
+  test("streaming attribution reproduces the batch operator exactly (in-order feed)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf001 = "/root/testdata/sf0.001"
+    // the real events table, fed through the stream in event-time order
+    val evs = graft.Tables.events(spark, sf001)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("epoch_us", "user_id", "event_type", "value", "event_id")
+      .collect()
+      .map(r => AttrEvt(r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4)))
+      .sortBy(e => (e.us, e.id))
+    val in = MemoryStream[AttrEvt]
+    val q = StreamOps.streamAttribution(in.toDS, 6L * 3600L * 1000000L)
+      .toDF("user", "id", "value", "attr_hour")
+      .writeStream.format("memory").queryName("t_attr").outputMode("update").start()
+    try {
+      // three micro-batches — state must carry the last click across them
+      evs.grouped(math.max(evs.length / 3, 1)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.sql(
+        """SELECT attr_hour, count(*) AS n_purchases, round(sum(value), 2) AS attributed_value
+          |FROM t_attr GROUP BY attr_hour""".stripMargin).collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val batch = graft.operators.EventTime.evtAttribution(spark, sf001).collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(streamed === batch, "stream and batch attribution must agree row for row")
+      assert(batch.nonEmpty)
+    } finally q.stop()
   }
 
   test("mapGroupsWithState keeps a running per-user count across batches") {
