@@ -123,6 +123,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "gram join must not shuffle the corpus side")
   }
 
+  test("domain resample broadcasts the per-domain rate table") {
+    val plan = formatted(LlmText.llmDomainResample(spark, sf001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rates (cardinality = #domains) must broadcast:\n$plan")
+  }
+
+  test("fuzzy join stays a hash/merge join on the block keys, never nested-loop") {
+    val plan = formatted(Joins.joinFuzzyMatch(spark, sf001))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"no equi join planned:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"fuzzy join degenerated to all-pairs:\n$plan")
+  }
+
+  test("cohort LTV broadcasts the per-week cohort-size table") {
+    val plan = formatted(EventTime.evtCohortLtv(spark, sf001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cohort sizes (cardinality = #weeks) must broadcast:\n$plan")
+  }
+
   test("no declared query plans an accidental cross product") {
     // Intentional pairwise/cross plan: only the bounded 25×5 cross-join grid.
     // The similarity-search queries are covered (un-whitelisted) above.
