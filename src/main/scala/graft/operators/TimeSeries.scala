@@ -236,7 +236,60 @@ object TimeSeries {
       .orderBy("seg")
   }
 
+  /** Order-to-ship latency SLA profile — the fulfilment-ops staple: per
+    * order priority, the distribution (mean / exact p50 / p90 / max) of
+    * days between order placement and line shipment. Day lag is integer
+    * date arithmetic (exact on both engines); the percentiles are exact
+    * (single-pass sort-based within each of the 5 groups). One fact⋈fact
+    * equi join co-partitioned on orderkey, then a 5-group aggregate. */
+  def tsShipLatency(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_shipdate")
+    val o = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lag_days",
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))).cast("long"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(avg("lag_days"), 4).as("avg_days"),
+        round(expr("percentile(lag_days, 0.5)"), 4).as("p50_days"),
+        round(expr("percentile(lag_days, 0.9)"), 4).as("p90_days"),
+        max("lag_days").as("max_days"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Revenue concentration (Pareto/80-20) — per market segment, the share
+    * of customers that carries 80% of revenue. Customers are ranked by
+    * (2-decimal pinned) revenue under a total order (desc rev, asc key);
+    * the cumulative share is rounded at 6 decimals BEFORE the ≥0.8 test so
+    * the threshold can't flip between engines on a last-ulp sum
+    * difference. The only fact-sized pass is the per-customer aggregate;
+    * the ranking window runs over customers, already 100× smaller. */
+  def winPareto(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCust = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("c_custkey"))
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+    val w = Window.partitionBy("seg").orderBy(desc("rev"), asc("c_custkey"))
+    val tot = Window.partitionBy("seg")
+    perCust
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cum_share",
+        round(sum("rev").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) /
+          sum("rev").over(tot), 6))
+      .withColumn("n_cust", count(lit(1)).over(tot))
+      .filter(col("cum_share") >= 0.8)
+      .groupBy("seg")
+      .agg(
+        min("rn").as("custs_for_80pct"),
+        round(min("rn") / max("n_cust").cast("double"), 4).as("pct_custs_for_80pct"))
+      .orderBy("seg")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_ship_latency" -> tsShipLatency,
+    "win_pareto" -> winPareto,
     "ts_lead_lag_corr" -> tsLeadLagCorr,
     "win_beta" -> winBeta,
     "ts_vwap" -> tsVwap,
@@ -249,6 +302,34 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "ts_ship_latency" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  round(avg(lag_days), 4) AS avg_days,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY lag_days), 4) AS p50_days,
+        |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY lag_days), 4) AS p90_days,
+        |  CAST(max(lag_days) AS BIGINT) AS max_days
+        |FROM (SELECT o_orderpriority,
+        |        date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lag_days
+        |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "win_pareto" ->
+      """WITH per_cust AS (
+        |  SELECT c_mktsegment AS seg, c_custkey, round(sum(o_totalprice), 2) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT seg,
+        |    CAST(row_number() OVER w AS BIGINT) AS rn,
+        |    round(sum(rev) OVER (PARTITION BY seg ORDER BY rev DESC, c_custkey ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      / sum(rev) OVER (PARTITION BY seg), 6) AS cum_share,
+        |    CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS n_cust
+        |  FROM per_cust
+        |  WINDOW w AS (PARTITION BY seg ORDER BY rev DESC, c_custkey ASC))
+        |SELECT seg, min(rn) AS custs_for_80pct,
+        |  round(min(rn) / CAST(max(n_cust) AS DOUBLE), 4) AS pct_custs_for_80pct
+        |FROM ranked WHERE cum_share >= 0.8
+        |GROUP BY seg ORDER BY seg""".stripMargin,
     "ts_lead_lag_corr" ->
       """WITH daily AS (
         |  SELECT c_mktsegment AS seg, CAST(o_orderdate AS DATE) AS day,
