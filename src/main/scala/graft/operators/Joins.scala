@@ -215,9 +215,13 @@ object Joins {
     * symmetric pair. Block sizing is the operator's scale knob: cost is
     * Σ block², so the block key must keep blocks bounded as the corpus
     * grows (nation alone left 600-row blocks at sf0.1 — 4.5M distance
-    * evaluations, measured 16 s; the segment refinement cuts it 5×, and at
-    * 100 TB a further name-prefix/length band does the same again).
-    * Output is the per-nation pair census. */
+    * evaluations, measured 16 s; the segment refinement cuts it 5×). The
+    * lossless content refinement at 100 TB is PassJoin-style segment
+    * signatures (pairs within ed≤k must share one of k+1 segments at a
+    * ±k offset) — worthwhile when names are diverse, vacuous here because
+    * these names share a 9-char constant prefix every pair collides on, so
+    * the block keys must come from metadata, as they do. Output is the
+    * per-nation pair census. */
   def joinFuzzyMatch(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir)
     val a = c.select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
