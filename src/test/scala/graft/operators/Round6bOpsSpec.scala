@@ -159,6 +159,37 @@ class Round6bOpsSpec extends SparkSpec {
     assert(row.getDouble(3) <= 0.7, s"partkey spans not clustered: $row")
   }
 
+  test("dq constraint sweep is non-vacuous: clean rules hold, dirty rules fire") {
+    // sf0.01: the 1k-event sf0.001 sample has no >400 outliers — the rule
+    // must be exercised on data where violations exist to prove it fires
+    val rules = Quality.dqConstraints(spark, sf01).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rules.size === 7, "every declared rule reports")
+    // the synthetic star schema is referentially clean...
+    assert(rules("orders_custkey_fk") === 0L)
+    assert(rules("lineitem_orderkey_fk") === 0L)
+    assert(rules("customer_custkey_unique") === 0L)
+    // ...while the outlier/dup detectors must actually fire at this SF —
+    // an all-zeros sweep would prove nothing about the rules
+    assert(rules("events_value_outlier") > 0L, "outlier rule is vacuous")
+  }
+
+  test("SCD2 history: changed keys carry exactly two versions, one open") {
+    val h = Quality.scd2History(spark, sf001).cache()
+    try {
+      val changed = h.filter(col("c_custkey") % 7 === 2)
+      val perKey = changed.groupBy("c_custkey").count().collect().map(_.getLong(1))
+      assert(perKey.nonEmpty && perKey.forall(_ === 2L), "changed key = closed + open version")
+      assert(changed.filter(col("is_current") && col("valid_to").isNotNull).count() === 0,
+        "open versions have no end date")
+      assert(changed.filter(!col("is_current") && col("valid_to").isNull).count() === 0,
+        "closed versions carry their end date")
+      val unchanged = h.filter(col("c_custkey") % 7 =!= 2)
+      assert(unchanged.groupBy("c_custkey").count()
+        .filter(col("count") =!= 1).count() === 0, "unchanged keys keep one row")
+    } finally h.unpersist(): Unit
+  }
+
   test("incremental agg merge joins view⋈deltas, never re-aggregating the base twice") {
     val plan = Aggregations.aggIncremental(spark, sf001).queryExecution
       .explainString(ExplainMode.fromString("formatted"))
