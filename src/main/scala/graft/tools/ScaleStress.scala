@@ -37,9 +37,13 @@ object ScaleStress {
 
   /** The queries whose 100×-scale story the repo claims: the flagship agg,
     * fact-fact joins, sessionization, a window, two heavy TPC-H idioms, the
-    * dedup family, IVF ANN, heavy hitters, the merge sink, and the
-    * round-6b additions (bloom semi-join pushdown, IVM merge, attribution
-    * as-of, domain resampling). */
+    * dedup family, IVF ANN, heavy hitters, the sinks, and the round-6b
+    * additions (bloom semi-join pushdown, IVM merge, attribution as-of,
+    * domain resampling, SLA latency, Pareto, dq sweep, SCD2, cohort LTV,
+    * split, z-order). join_fuzzy_match is deliberately absent: it is
+    * Σ block² BY DESIGN with metadata block keys (see its Scaladoc) — its
+    * scale knob is block granularity, not plan shape, so a fixed-block
+    * sweep would only re-measure the documented quadratic. */
   private[tools] val headline = Seq(
     "agg_pricing_summary", "scan_pruned", "join_inner_hash", "join_asof",
     "q9_product_profit", "q21_sole_latest_supplier", "evt_session",
@@ -47,7 +51,9 @@ object ScaleStress {
     "llm_ngram_jaccard", "llm_ann_ivf", "llm_dedup_cluster",
     "agg_freq_items", "sink_merge_upsert",
     "join_bloom_prefilter", "agg_incremental", "evt_attribution",
-    "llm_domain_resample")
+    "llm_domain_resample", "ts_ship_latency", "win_pareto",
+    "dq_constraints", "scd2_history", "evt_cohort_ltv",
+    "llm_split_stratified", "sink_zorder")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
