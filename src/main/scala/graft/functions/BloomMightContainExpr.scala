@@ -41,9 +41,16 @@ case class BloomMightContain(left: Expression, right: Expression) extends Binary
         s"graft_bloom_might_contain requires (binary, bigint), got (${l.catalogString}, ${r.catalogString})")
     }
 
-  // one deserialization per task-JVM, shared by eval and codegen paths
+  // one deserialization per task-JVM, shared by eval and codegen paths.
+  // A null sketch (NULL binary literal / foldable-to-null expression) must
+  // fail with a clear message here, not an opaque NPE inside codegen's
+  // addReferenceObj — mirroring Spark's own BloomFilterMightContain.
   @transient private lazy val bloom: BloomFilter = {
     val bytes = left.eval(null).asInstanceOf[Array[Byte]]
+    if (bytes == null) {
+      throw new IllegalArgumentException(
+        "graft_bloom_might_contain: the bloom sketch argument evaluated to NULL")
+    }
     BloomFilter.readFrom(new ByteArrayInputStream(bytes))
   }
 

@@ -186,20 +186,46 @@ object Joins {
     * the composition is EXACTLY the semi-join — which is what the DuckDB
     * oracle checks (any false-negative bug would drop rows and fail the
     * hash compare). Round6bOpsSpec additionally asserts prefilter
-    * selectivity and bloom/exact agreement. */
-  def joinBloomPrefilter(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.functions.BloomExprs.register(spark)
-    val urgent = Tables.orders(spark, sfDir)
-      .filter(col("o_orderpriority") === "1-URGENT")
-      .select("o_orderkey")
-    val bf = urgent.stat.bloomFilter("o_orderkey", math.max(urgent.count(), 1L), 0.01)
+    * selectivity, bloom/exact agreement, and the size cap.
+    *
+    * The sketch is a plan literal, so its size is capped (`BloomMaxBytes`,
+    * 8 MB — the same ceiling Spark's injected runtime filters use): a build
+    * side large enough to blow past it (≳6M distinct keys at 1% fpp) gets
+    * NO prefilter instead of a bloated plan/codegen source. The fallthrough
+    * is result-identical by construction — the exact semi-join downstream
+    * is the answer either way; the bloom only sheds fact rows early. */
+  final val BloomMaxBytes: Int = 8 << 20
+
+  /** The cap decision, separated so the oversize path is unit-testable
+    * without materializing a multi-million-row build side. */
+  private[operators] def cappedProbe(bytes: Array[Byte],
+      probe: org.apache.spark.sql.Column): Option[org.apache.spark.sql.Column] =
+    if (bytes.length <= BloomMaxBytes)
+      Some(call_function("graft_bloom_might_contain", lit(bytes), probe))
+    else None
+
+  /** The capped prefilter predicate: Some(probe) when the build side's
+    * sketch fits `BloomMaxBytes`, None (no prefilter) when it doesn't. */
+  private[operators] def bloomPrefilter(df: DataFrame, keyCol: String,
+      probe: org.apache.spark.sql.Column): Option[org.apache.spark.sql.Column] = {
+    val bf = df.stat.bloomFilter(keyCol, math.max(df.count(), 1L), 0.01)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)
       bos.toByteArray
     }
-    Tables.lineitem(spark, sfDir)
-      .filter(call_function("graft_bloom_might_contain", lit(bytes), col("l_orderkey")))
+    cappedProbe(bytes, probe)
+  }
+
+  def joinBloomPrefilter(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.BloomExprs.register(spark)
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val li = Tables.lineitem(spark, sfDir)
+    val prefiltered = bloomPrefilter(urgent, "o_orderkey", col("l_orderkey"))
+      .map(li.filter).getOrElse(li)
+    prefiltered
       .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_lines"),
@@ -208,33 +234,52 @@ object Joins {
   }
 
   /** Fuzzy string-match self-join — entity-resolution's workhorse: customer
-    * name pairs within edit distance 2, blocked on (nation, mktsegment) so
-    * candidate pairs are generated per block, never all-pairs. The equi
-    * terms keep this a hash join with `levenshtein ≤ 2` (codegen'd on both
-    * engines) as a post-filter; `custkey < custkey` deduplicates the
-    * symmetric pair. Block sizing is the operator's scale knob: cost is
-    * Σ block², so the block key must keep blocks bounded as the corpus
-    * grows (nation alone left 600-row blocks at sf0.1 — 4.5M distance
-    * evaluations, measured 16 s; the segment refinement cuts it 5×). The
-    * lossless content refinement at 100 TB is PassJoin-style segment
-    * signatures (pairs within ed≤k must share one of k+1 segments at a
-    * ±k offset) — worthwhile when names are diverse, vacuous here because
-    * these names share a 9-char constant prefix every pair collides on, so
-    * the block keys must come from metadata, as they do. Output is the
-    * per-nation pair census. */
+    * name pairs within edit distance 2 in the same (nation, mktsegment)
+    * block, as a per-nation pair census.
+    *
+    * Candidate generation is a SIGNATURE JOIN, not block²: each side emits
+    * the ≤2-deletion variant hashes of its name (`graft_del_variants`, a
+    * codegen'd native expression — symmetric-delete/"FastSS" signatures),
+    * and candidates are pairs that share (nation, segment, signature). By
+    * the deletion-variant pigeonhole (see DeletionVariantsExpr.scala), every
+    * pair within ed ≤ 2 shares a variant, so the candidate set is a provable
+    * superset of the answer; the exact banded-levenshtein confirm then makes
+    * the composition byte-identical to the naive all-pairs-in-block form the
+    * DuckDB oracle replays. `k1 < k2` deduplicates the symmetric pair, and
+    * the pair-level `distinct` collapses multi-signature collisions BEFORE
+    * the distance evaluation so each candidate is confirmed once.
+    *
+    * Scale shape: the old form's cost was Σ block² with a FIXED number of
+    * blocks (≤125 nation×segment cells), so work grew quadratically in the
+    * corpus — 16 s at sf0.1 under nation-only blocking, ~18G distance
+    * evaluations at 100×. The signature join's volume is (rows × ~n²/2
+    * variants) on each side — LINEAR in the corpus for fixed key width —
+    * and its output is bounded by true near-duplicate density (plus the
+    * bounded ed ≤ 4 / hash-collision slack), not by block population.
+    * Signatures drawn from the full name stay selective despite the shared
+    * 9-char "Customer#" prefix because every variant retains the digit
+    * suffix that actually distinguishes rows — the reason a PREFIX-segment
+    * PassJoin scheme was vacuous here. The (nk, seg, sig) equi key keeps
+    * the candidate step a plain shuffled hash join; heavy signature classes
+    * (e.g. tail-deletion stems shared by ~100 consecutive keys) are further
+    * split ~125-ways by the block columns riding in the join key. */
   def joinFuzzyMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.DeletionVariants.register(spark)
     val c = Tables.customer(spark, sfDir)
     val a = c.select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
-      col("c_custkey").as("k1"), col("c_name").as("name1"))
+      col("c_custkey").as("k1"), col("c_name").as("name1"),
+      explode(call_function("graft_del_variants", col("c_name"), lit(2))).as("sig"))
     val b = c.select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
-      col("c_custkey").as("k2"), col("c_name").as("name2"))
+      col("c_custkey").as("k2"), col("c_name").as("name2"),
+      explode(call_function("graft_del_variants", col("c_name"), lit(2))).as("sig"))
     // threshold form = banded DP (O(k·n) per pair, early exit; returns -1
-    // beyond the bound) — measured 3.65→2.6 s at sf0.1 over the full O(n·m)
-    // distance. Semantics identical to `levenshtein(a,b) <= 2`, which is
-    // what the DuckDB oracle replays.
-    a.join(b, Seq("nk", "seg"))
-      .filter(col("k1") < col("k2") &&
-        levenshtein(col("name1"), col("name2"), 2) =!= -1)
+    // beyond the bound). Semantics identical to `levenshtein(a,b) <= 2`,
+    // which is what the DuckDB oracle replays.
+    a.join(b, Seq("nk", "seg", "sig"))
+      .filter(col("k1") < col("k2"))
+      .select("nk", "k1", "k2", "name1", "name2")
+      .distinct()
+      .filter(levenshtein(col("name1"), col("name2"), 2) =!= -1)
       .join(broadcast(Tables.nation(spark, sfDir)), col("nk") === col("n_nationkey"))
       .groupBy("n_name")
       .agg(count(lit(1)).as("n_pairs"),

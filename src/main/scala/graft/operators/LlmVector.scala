@@ -356,9 +356,9 @@ object LlmVector {
 
   /** Multimodal plumbing: documents as opaque binary payloads with typed
     * metadata; features here are deterministic (byte length + md5) so the
-    * pipeline is oracle-checkable end-to-end. The decode stage a real
-    * deployment would run (image/audio libs absent in this container) is
-    * stubbed in MultimodalOps.decodeStub and exercised by its spec. */
+    * pipeline is oracle-checkable end-to-end. The container pack/decode
+    * stage lives in MultimodalOps and is its own declared query
+    * (`llm_multimodal_decode`). */
   def llmMultimodalFeatures(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .withColumn("payload", encode(col("text"), "UTF-8"))
@@ -397,7 +397,21 @@ object LlmVector {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Full multimodal round-trip as a declared query: documents → opaque
+    * payload → GRFT container pack → binary frame-record decode → integer
+    * features (MultimodalOps). The features are computed from the PARSED
+    * container bytes only; the DuckDB oracle independently recomputes them
+    * from the source blob with hex-pair arithmetic (`hex(encode(text))` +
+    * `CAST('0x..')` byte sums), so a decoder that mis-read the framing —
+    * wrong chunk boundary, skipped record, header trust — diverges on the
+    * frame-index-weighted checksum and fails the hash gate. mapPartitions
+    * per-row binary work; linear, no shuffle before the final sort. */
+  def llmMultimodalDecode(spark: SparkSession, sfDir: String): DataFrame =
+    MultimodalOps.decode(MultimodalOps.pack(MultimodalOps.fromDocuments(spark, sfDir)))
+      .toDF().orderBy("doc_id")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_multimodal_decode" -> llmMultimodalDecode,
     "llm_frame_sample" -> llmFrameSample,
     "llm_cosine_topk" -> llmCosineTopk,
     "llm_knn_label" -> llmKnnLabel,
@@ -483,6 +497,20 @@ object LlmVector {
       |  WHERE p.cell_rank <= 3 + 2 * bparam.b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "llm_multimodal_decode" ->
+      """WITH b AS (SELECT doc_id, encode(text) AS p FROM documents),
+        |s AS (SELECT doc_id, octet_length(p) AS L, hex(p) AS h FROM b),
+        |f AS (SELECT doc_id, L,
+        |  coalesce(list_aggregate(list_transform(generate_series(1, L),
+        |    i -> CAST(concat('0x', substring(h, 2*i-1, 2)) AS BIGINT)), 'sum'), 0) AS checksum,
+        |  coalesce(list_aggregate(list_transform(generate_series(1, L),
+        |    i -> CAST(concat('0x', substring(h, 2*i-1, 2)) AS BIGINT)
+        |         * ((i-1) // 24 + 1)), 'sum'), 0) AS wsum
+        |  FROM s)
+        |SELECT doc_id, CAST(L AS BIGINT) AS n_bytes,
+        |  CAST((L + 23) // 24 AS BIGINT) AS n_frames,
+        |  CAST(checksum AS BIGINT) AS checksum, CAST(wsum AS BIGINT) AS wsum
+        |FROM f ORDER BY doc_id""".stripMargin,
     "llm_frame_sample" ->
       """WITH d AS (
         |  SELECT doc_id, text,

@@ -15,39 +15,84 @@ import graft.Tables
   */
 object Quality {
 
-  /** Constraint sweep: every rule evaluates to a violation count (0 = the
-    * constraint holds). Rules cover the four families dbt-style suites run:
-    * referential integrity (anti joins), uniqueness (grouped duplicate
-    * count), nullability, and accepted ranges/outliers. Exact integer
-    * counts — no rounding concerns. */
+  /** The tables a constraint may check, bound once per sweep. */
+  private[operators] final case class DqTables(orders: DataFrame, lineitem: DataFrame,
+      customer: DataFrame, supplier: DataFrame, events: DataFrame)
+
+  /** One constraint AS DATA: its name, the Spark-side violation counter
+    * (must yield a single row with a long column `n`), and the DuckDB
+    * oracle's equivalent one-row SELECT. Adding a rule is adding a row
+    * here — both the operator's union and the oracle's UNION ALL are
+    * generated from this table, so the two sides cannot drift. FK oracles
+    * use NOT EXISTS (never NOT IN): NOT IN's three-valued logic reports 0
+    * violations the moment the subquery contains a NULL key, silently
+    * diverging from the anti-join the Spark side runs. */
+  private[operators] final case class DqRule(name: String,
+      oracleSelect: String, check: DqTables => DataFrame)
+
+  /** Rules cover the four families dbt-style suites run: referential
+    * integrity (anti joins), uniqueness (grouped duplicate count),
+    * nullability, and accepted ranges/outliers. Exact integer counts — no
+    * rounding concerns. */
+  private[operators] val dqRules: Seq[DqRule] = Seq(
+    DqRule("orders_custkey_fk",
+      """SELECT 'orders_custkey_fk' AS rule, CAST(count(*) AS BIGINT) AS n_violations
+        |  FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer WHERE c_custkey = o.o_custkey)""".stripMargin,
+      t => t.orders.join(t.customer,
+          t.orders("o_custkey") === t.customer("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))),
+    DqRule("lineitem_orderkey_fk",
+      """SELECT 'lineitem_orderkey_fk', CAST(count(*) AS BIGINT)
+        |  FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders WHERE o_orderkey = l.l_orderkey)""".stripMargin,
+      t => t.lineitem.join(t.orders,
+          t.lineitem("l_orderkey") === t.orders("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))),
+    DqRule("lineitem_suppkey_fk",
+      """SELECT 'lineitem_suppkey_fk', CAST(count(*) AS BIGINT)
+        |  FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM supplier WHERE s_suppkey = l.l_suppkey)""".stripMargin,
+      t => t.lineitem.join(t.supplier,
+          t.lineitem("l_suppkey") === t.supplier("s_suppkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))),
+    DqRule("customer_custkey_unique",
+      """SELECT 'customer_custkey_unique',
+        |    CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT)
+        |  FROM (SELECT count(*) AS c FROM customer GROUP BY c_custkey)""".stripMargin,
+      t => t.customer.groupBy("c_custkey").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0L)).as("n"))),
+    DqRule("orders_totalprice_positive",
+      """SELECT 'orders_totalprice_positive', CAST(count(*) AS BIGINT)
+        |  FROM orders WHERE o_totalprice <= 0""".stripMargin,
+      t => t.orders.agg(count_if(col("o_totalprice") <= 0).as("n"))),
+    DqRule("lineitem_quantity_range",
+      """SELECT 'lineitem_quantity_range', CAST(count(*) AS BIGINT)
+        |  FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50""".stripMargin,
+      t => t.lineitem.agg(count_if(col("l_quantity") < 1 || col("l_quantity") > 50).as("n"))),
+    DqRule("events_value_outlier",
+      """SELECT 'events_value_outlier', CAST(count(*) AS BIGINT)
+        |  FROM events WHERE value > 400""".stripMargin,
+      t => t.events.agg(count_if(col("value") > 400).as("n"))),
+    DqRule("events_dup_user_type_minute",
+      """SELECT 'events_dup_user_type_minute',
+        |    CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT)
+        |  FROM (SELECT count(*) AS c FROM events
+        |        GROUP BY user_id, event_type, date_trunc('minute', CAST(ts AS TIMESTAMP)))""".stripMargin,
+      t => t.events.withColumn("m", date_trunc("minute", col("ts_ntz")))
+        .groupBy("user_id", "event_type", "m").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0L)).as("n"))),
+  )
+
+  /** Constraint sweep: every rule in `dqRules` evaluates to a violation
+    * count (0 = the constraint holds). */
   def dqConstraints(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = Tables.orders(spark, sfDir)
-    val li = Tables.lineitem(spark, sfDir)
-    val c = Tables.customer(spark, sfDir)
-    val ev = Tables.events(spark, sfDir)
-    def rule(name: String, cnt: DataFrame): DataFrame =
-      cnt.select(lit(name).as("rule"), col("n").cast("long").as("n_violations"))
-    val checks = Seq(
-      rule("orders_custkey_fk",
-        o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
-          .agg(count(lit(1)).as("n"))),
-      rule("lineitem_orderkey_fk",
-        li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
-          .agg(count(lit(1)).as("n"))),
-      rule("customer_custkey_unique",
-        c.groupBy("c_custkey").agg(count(lit(1)).as("c"))
-          .agg(coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0L)).as("n"))),
-      rule("orders_totalprice_positive",
-        o.agg(count_if(col("o_totalprice") <= 0).as("n"))),
-      rule("lineitem_quantity_range",
-        li.agg(count_if(col("l_quantity") < 1 || col("l_quantity") > 50).as("n"))),
-      rule("events_value_outlier",
-        ev.agg(count_if(col("value") > 400).as("n"))),
-      rule("events_dup_user_type_minute",
-        ev.withColumn("m", date_trunc("minute", col("ts_ntz")))
-          .groupBy("user_id", "event_type", "m").agg(count(lit(1)).as("c"))
-          .agg(coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0L)).as("n"))))
-    checks.reduce(_.union(_)).orderBy("rule")
+    val t = DqTables(Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir),
+      Tables.customer(spark, sfDir), Tables.supplier(spark, sfDir),
+      Tables.events(spark, sfDir))
+    dqRules.map(r => r.check(t)
+        .select(lit(r.name).as("rule"), col("n").cast("long").as("n_violations")))
+      .reduce(_.union(_)).orderBy("rule")
   }
 
   /** Fixed SCD2 effective date — inside every SF's order-date range. */
@@ -87,32 +132,10 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
-    "dq_constraints" ->
-      """SELECT rule, n_violations FROM (
-        |  SELECT 'orders_custkey_fk' AS rule, CAST(count(*) AS BIGINT) AS n_violations
-        |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
-        |  UNION ALL
-        |  SELECT 'lineitem_orderkey_fk', CAST(count(*) AS BIGINT)
-        |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
-        |  UNION ALL
-        |  SELECT 'customer_custkey_unique',
-        |    CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT)
-        |  FROM (SELECT count(*) AS c FROM customer GROUP BY c_custkey)
-        |  UNION ALL
-        |  SELECT 'orders_totalprice_positive', CAST(count(*) AS BIGINT)
-        |  FROM orders WHERE o_totalprice <= 0
-        |  UNION ALL
-        |  SELECT 'lineitem_quantity_range', CAST(count(*) AS BIGINT)
-        |  FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
-        |  UNION ALL
-        |  SELECT 'events_value_outlier', CAST(count(*) AS BIGINT)
-        |  FROM events WHERE value > 400
-        |  UNION ALL
-        |  SELECT 'events_dup_user_type_minute',
-        |    CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT)
-        |  FROM (SELECT count(*) AS c FROM events
-        |        GROUP BY user_id, event_type, date_trunc('minute', CAST(ts AS TIMESTAMP)))
-        |) ORDER BY rule""".stripMargin,
+    // generated from the SAME rule table the operator runs — the oracle
+    // cannot drift from the Spark side when a rule is added or edited
+    "dq_constraints" -> dqRules.map(_.oracleSelect)
+      .mkString("SELECT rule, n_violations FROM (\n", "\n  UNION ALL\n", "\n) ORDER BY rule"),
     "scd2_history" ->
       """SELECT c_custkey, c_name,
         |  CASE WHEN c_custkey % 7 = 2 THEN 'REASSIGNED' ELSE c_mktsegment END AS c_mktsegment,

@@ -111,7 +111,28 @@ object Sinks {
         max("l_orderkey").as("max_key"))
   }
 
-  private[operators] val ZorderFiles = 8
+  /** Target bytes per z-ordered file. 1.4 MB keeps the sf0.1 outcome at the
+    * historically-specced 8 files; a production job would set ~128 MB. */
+  private[operators] val ZorderTargetBytes = 1400000L
+
+  /** Floor on the output file count — below this the write under-parallelizes
+    * and the span assertions lose statistical meaning (and a 1-file layout
+    * trivially "spans" everything). */
+  private[operators] val ZorderMinFiles = 8
+
+  /** File count = input bytes / target file size (floored at
+    * `ZorderMinFiles`) — the same n = bytes/target rule the compaction
+    * Scaladoc describes for production. Sized from the SOURCE parquet
+    * footprint, so the file count scales linearly with the corpus instead
+    * of pinning output parallelism at a constant (the round-6 100× sweep
+    * measured that pin as a ×9.3 wall-clock outlier: 100× rows forced
+    * through the same 8 write tasks). */
+  private[operators] def zorderFiles(spark: SparkSession, sfDir: String): Int = {
+    val path = new org.apache.hadoop.fs.Path(s"$sfDir/lineitem.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    math.max(ZorderMinFiles, math.ceil(bytes.toDouble / ZorderTargetBytes).toInt)
+  }
 
   /** Spread the low 16 bits of `c` (long) to the even bit positions —
     * the magic-number interleave step of a Morton/Z-order code. All plain
@@ -125,8 +146,8 @@ object Sinks {
 
   /** Z-order (Morton) clustering sink — the multi-dimensional layout
     * optimization lakehouses run as OPTIMIZE ZORDER BY: lineitem rewritten
-    * in `ZorderFiles` range-partitioned files ordered by the interleaved
-    * bits of (l_orderkey, l_partkey), each first bucketized to 16 bits
+    * in `zorderFiles(...)` (bytes-scaled) range-partitioned files ordered by
+    * the interleaved bits of (l_orderkey, l_partkey), each first bucketized to 16 bits
     * against its global min/max (a broadcast 1-row aggregate via Fanout).
     * A single-column sort gives later scans min/max pruning on ONE
     * dimension and leaves the other's per-file span at ~100%; the z-curve
@@ -152,7 +173,7 @@ object Sinks {
       .withColumn("p16",
         expr("((l_partkey - p_lo) * 65535) DIV greatest(p_hi - p_lo, 1)"))
       .withColumn("z", spread16(col("o16")).bitwiseOR(shiftleft(spread16(col("p16")), 1)))
-      .repartitionByRange(ZorderFiles, col("z"))
+      .repartitionByRange(zorderFiles(spark, sfDir), col("z"))
       .sortWithinPartitions("z")
       .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
       .write.mode("overwrite").parquet(out)

@@ -228,13 +228,20 @@ object TimeSeries {
       .withColumn("m_p2", lead("mret", 2).over(w))
       .groupBy("seg")
       .agg(
-        round(corr("ret", "m_m2"), 4).as("corr_m2"),
-        round(corr("ret", "m_m1"), 4).as("corr_m1"),
-        round(corr("ret", "mret"), 4).as("corr_0"),
-        round(corr("ret", "m_p1"), 4).as("corr_p1"),
-        round(corr("ret", "m_p2"), 4).as("corr_p2"))
+        corrOrNull("ret", "m_m2").as("corr_m2"),
+        corrOrNull("ret", "m_m1").as("corr_m1"),
+        corrOrNull("ret", "mret").as("corr_0"),
+        corrOrNull("ret", "m_p1").as("corr_p1"),
+        corrOrNull("ret", "m_p2").as("corr_p2"))
       .orderBy("seg")
   }
+
+  /** Spark's `corr` yields NaN on a zero-variance or <2-point series where
+    * DuckDB yields NULL — on a degenerate segment (e.g. ≤3 trading days at
+    * a tiny SF) the hash gate would diverge. nanvl maps NaN → NULL so both
+    * engines agree on every input. */
+  private def corrOrNull(a: String, b: String): org.apache.spark.sql.Column =
+    round(nanvl(corr(a, b), lit(null).cast("double")), 4)
 
   /** Order-to-ship latency SLA profile — the fulfilment-ops staple: per
     * order priority, the distribution (mean / exact p50 / p90 / max) of

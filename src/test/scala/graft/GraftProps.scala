@@ -99,6 +99,38 @@ object GraftProps extends Properties("graft") {
       cos >= -1.0000001 && cos <= 1.0000001 && math.abs(self - 1.0) < 1e-9
     }
 
+  // The fuzzy join's sub-quadratic candidate generation rests entirely on
+  // the deletion-variant pigeonhole: every pair within ed ≤ 2 MUST share a
+  // ≤2-deletion variant hash, or the signature join silently drops a true
+  // pair before the exact confirm can see it. Apply ≤2 random edits
+  // (insert/delete/substitute) to a random string and require a non-empty
+  // hash intersection — pure-JVM, same code path codegen calls.
+  private val genName = Gen.chooseNum(5, 24).flatMap(n =>
+    Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+  private val genEdits = Gen.chooseNum(0, 2)
+
+  property("strings within edit distance 2 always share a deletion variant") =
+    forAllNoShrink(genName, genEdits, Gen.long) { (s, nEdits, seed) =>
+      val rnd = new scala.util.Random(seed)
+      var t = s
+      (1 to nEdits).foreach { _ =>
+        val op = rnd.nextInt(3)
+        val pos = rnd.nextInt(math.max(t.length, 1))
+        t = op match {
+          case 0 if t.nonEmpty => t.patch(pos, Nil, 1) // delete
+          case 1 => t.patch(pos, rnd.nextPrintableChar().toString, 0) // insert
+          case _ if t.nonEmpty => t.patch(pos, rnd.nextPrintableChar().toString, 1) // substitute
+          case _ => t
+        }
+      }
+      def variants(x: String): Set[Long] = {
+        val arr = graft.functions.DeletionVariants
+          .compute(org.apache.spark.unsafe.types.UTF8String.fromString(x), 2)
+        (0 until arr.numElements()).map(arr.getLong).toSet
+      }
+      (variants(s) & variants(t)).nonEmpty
+    }
+
   private val genKeys = Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
 
   // The bloom prefilter's correctness rests entirely on "no false

@@ -83,17 +83,36 @@ class LlmSpec extends SparkSpec {
     assert(ann.groupBy(_._1).forall(_._2.size <= 5))
   }
 
-  test("multimodal decode stub produces deterministic per-payload features") {
-    val feats = MultimodalOps.decodeStub(MultimodalOps.fromDocuments(spark, sf001))
+  test("GRFT container pack/decode round-trips per-payload features") {
+    val feats = MultimodalOps.decode(MultimodalOps.pack(MultimodalOps.fromDocuments(spark, sf001)))
       .collect().map(f => f.doc_id -> f).toMap
     val chars = graft.Tables.documents(spark, sf001)
       .select(col("doc_id"), col("n_chars")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(feats.nonEmpty)
     feats.foreach { case (id, f) =>
-      assert(f.n_bytes.toLong == chars(id), "ascii corpus: bytes == chars")
-      assert(f.n_frames == (f.n_bytes + 31) / 32)
+      assert(f.n_bytes == chars(id), "ascii corpus: decoded bytes == chars")
+      assert(f.n_frames == (f.n_bytes + MultimodalOps.FrameLen - 1) / MultimodalOps.FrameLen)
       assert(f.checksum > 0)
+      // weighted checksum is bounded by frame-count × plain checksum and at
+      // least the plain checksum (weights are 1..n_frames)
+      assert(f.wsum >= f.checksum && f.wsum <= f.n_frames * f.checksum)
+    }
+  }
+
+  test("GRFT decode rejects corrupt containers loudly") {
+    import spark.implicits._
+    val good = MultimodalOps.pack(MultimodalOps.fromDocuments(spark, sf001)).head()
+    // corrupt the magic
+    val badMagic = good.copy(payload = { val p = good.payload.clone(); p(0) = 'X'.toByte; p })
+    val e1 = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.decode(Seq(badMagic).toDS()).collect()
+    }
+    assert(e1.getMessage.contains("GRFT") || e1.getCause != null)
+    // header/record mismatch: declare one frame more than present
+    val badCount = good.copy(payload = { val p = good.payload.clone(); p(9) = (p(9) + 1).toByte; p })
+    intercept[org.apache.spark.SparkException] {
+      MultimodalOps.decode(Seq(badCount).toDS()).collect()
     }
   }
 }

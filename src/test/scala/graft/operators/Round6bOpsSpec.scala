@@ -31,6 +31,40 @@ class Round6bOpsSpec extends SparkSpec {
     assert(prefiltered < nAll * 2 / 3, "prefilter should prune the majority of the fact")
   }
 
+  test("bloom prefilter caps the sketch size and falls through to the plain semi-join") {
+    graft.functions.BloomExprs.register(spark)
+    // under the cap → a probe predicate is produced
+    val urgent = Tables.orders(spark, sf001)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    assert(Joins.bloomPrefilter(urgent, "o_orderkey", col("l_orderkey")).isDefined,
+      "small build side must get a prefilter")
+    // over the cap → NO probe (the query keeps only the exact semi-join,
+    // which is result-identical — the bloom never changes the answer)
+    val oversized = new Array[Byte](Joins.BloomMaxBytes + 1)
+    assert(Joins.cappedProbe(oversized, col("l_orderkey")).isEmpty,
+      "oversized sketch must fall through instead of inflating the plan")
+    // the 8 MB ceiling is real: a build side of ~10M distinct keys at 1% fpp
+    // serializes past it (≈12 MB), so a fact-sized build can't sneak in
+    val big = org.apache.spark.util.sketch.BloomFilter.create(10000000L, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    big.writeTo(bos)
+    assert(bos.toByteArray.length > Joins.BloomMaxBytes)
+  }
+
+  test("bloom probe rejects a NULL sketch with a clear error, not an NPE") {
+    graft.functions.BloomExprs.register(spark)
+    val err = intercept[Exception] {
+      Tables.orders(spark, sf001)
+        .filter(call_function("graft_bloom_might_contain",
+          lit(null).cast("binary"), col("o_orderkey")))
+        .count()
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("evaluated to NULL")),
+      s"expected the clear null-sketch message, got: ${messages(err)}")
+  }
+
   test("bloom probe expression codegens inside the scan stage (no UDF barrier)") {
     graft.functions.BloomExprs.register(spark)
     val plan = Joins.joinBloomPrefilter(spark, sf001).queryExecution
@@ -150,7 +184,10 @@ class Round6bOpsSpec extends SparkSpec {
 
   test("z-order layout bounds per-file spans on BOTH clustering dimensions") {
     val row = Sinks.sinkZorder(spark, sf001).collect()(0)
-    assert(row.getLong(0) === Sinks.ZorderFiles.toLong, "file count")
+    assert(row.getLong(0) === Sinks.zorderFiles(spark, sf001).toLong, "file count")
+    // at the test SFs the bytes/target rule sits on the parallelism floor;
+    // past ~11 MB of input it must scale with bytes, not stay pinned
+    assert(Sinks.zorderFiles(spark, sf001) === Sinks.ZorderMinFiles)
     assert(row.getLong(1) === Tables.lineitem(spark, sf001).count(), "row preservation")
     // a 1-D sort leaves the OTHER dimension's MEAN per-file span at ~100%;
     // the z-curve bounds both means (≈0.5 and ≈0.35 measured — individual
@@ -164,10 +201,16 @@ class Round6bOpsSpec extends SparkSpec {
     // must be exercised on data where violations exist to prove it fires
     val rules = Quality.dqConstraints(spark, sf01).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(rules.size === 7, "every declared rule reports")
+    assert(rules.size === Quality.dqRules.size, "every declared rule reports")
+    // the rule table drives BOTH sides: the generated oracle must name
+    // every rule exactly once
+    Quality.dqRules.foreach { r =>
+      assert(r.oracleSelect.contains(s"'${r.name}'"), s"oracle missing ${r.name}")
+    }
     // the synthetic star schema is referentially clean...
     assert(rules("orders_custkey_fk") === 0L)
     assert(rules("lineitem_orderkey_fk") === 0L)
+    assert(rules("lineitem_suppkey_fk") === 0L)
     assert(rules("customer_custkey_unique") === 0L)
     // ...while the outlier/dup detectors must actually fire at this SF —
     // an all-zeros sweep would prove nothing about the rules
