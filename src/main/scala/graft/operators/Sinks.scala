@@ -47,19 +47,41 @@ object Sinks {
       .orderBy("o_orderkey")
   }
 
-  /** The merge plan itself (pre-sink) — separated so the spec can assert
-    * its shape without the write. */
-  private[operators] def merged(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The deterministic MERGE inputs — target snapshot plus a changeset
+    * carrying target-named columns. Exposed (private[graft]) so the
+    * streaming exactly-once sink's parity spec feeds the SAME changeset
+    * through micro-batches that `merged` applies in one shot. */
+  private[graft] def mergeInputs(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val target = Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     val updates = target.filter(col("o_orderkey") % 10 === 3)
-      .select(col("o_orderkey"), col("o_custkey"), lit("R").as("s"),
-        (col("o_totalprice") * 1.1).as("p"))
+      .select(col("o_orderkey"), col("o_custkey"), lit("R").as("o_orderstatus"),
+        (col("o_totalprice") * 1.1).as("o_totalprice"))
     val inserts = target.filter(col("o_orderkey") % 10 === 7)
       .select((-(col("o_orderkey") + 1)).as("o_orderkey"), col("o_custkey"),
-        lit("N").as("s"), (col("o_totalprice") * 0.5).as("p"))
-    val changeset = updates.union(inserts)
-      .toDF("c_key", "c_custkey", "c_status", "c_price")
+        lit("N").as("o_orderstatus"), (col("o_totalprice") * 0.5).as("o_totalprice"))
+    (target, updates.union(inserts))
+  }
+
+  /** Generic key-based upsert — the MERGE kernel shared by the batch sink
+    * and the streaming exactly-once sink (graft.streaming.MergeSink):
+    * changeset rows replace same-key snapshot rows, new keys append.
+    * Schemas must match; ONE full-outer shuffle join on the key. */
+  def upsert(snapshot: DataFrame, changes: DataFrame, key: String): DataFrame = {
+    val others = snapshot.columns.filterNot(_ == key).toSeq
+    val s = snapshot.select(col(key), struct(others.map(col): _*).as("_snap"))
+    val c = changes.select(col(key).as("_ckey"), struct(others.map(col): _*).as("_chg"))
+    s.join(c, col(key) === col("_ckey"), "full_outer")
+      .select(coalesce(col("_ckey"), col(key)).as(key),
+        coalesce(col("_chg"), col("_snap")).as("_row"))
+      .select(col(key) +: others.map(o => col(s"_row.$o").as(o)): _*)
+  }
+
+  /** The merge plan itself (pre-sink) — separated so the spec can assert
+    * its shape without the write. */
+  private[operators] def merged(spark: SparkSession, sfDir: String): DataFrame = {
+    val (target, cs) = mergeInputs(spark, sfDir)
+    val changeset = cs.toDF("c_key", "c_custkey", "c_status", "c_price")
     target.join(changeset, col("o_orderkey") === col("c_key"), "full_outer")
       .select(
         coalesce(col("c_key"), col("o_orderkey")).as("o_orderkey"),

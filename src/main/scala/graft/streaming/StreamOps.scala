@@ -128,3 +128,61 @@ object StreamOps {
   * events table is µs-precision; java.sql.Timestamp's ms `getTime` would
   * truncate and break parity with the batch operator's integer math). */
 case class AttrEvt(us: Long, user: Long, etype: String, value: Double, id: Long)
+
+/** Exactly-once streaming MERGE sink — the foreachBatch body that closes
+  * the loop between the streaming and sink families.
+  *
+  * Structured Streaming's foreachBatch contract is at-least-once: after a
+  * failure the last micro-batch can be redelivered with the SAME batchId,
+  * and a restarted query may re-offer earlier ids. Exactly-once EFFECT
+  * therefore requires the sink to be idempotent per batch id — the
+  * txnAppId/txnVersion recipe lakehouse table formats implement; here the
+  * transaction log is a marker file per applied id beside versioned parquet
+  * snapshots (atomic enough on a local FS for the spec; at 100 TB the same
+  * design rides a table format's commit protocol instead of marker files).
+  *
+  * Protocol: `initTarget` writes snapshot v0 before the stream starts. For
+  * a NEW batch id, `mergeBatch` reads the latest snapshot v_k, applies
+  * `Sinks.upsert` (the same full-outer-join MERGE kernel the batch
+  * sink_merge_upsert runs) and writes v_{k+1}, then marks the id applied.
+  * An already-applied id returns WITHOUT touching state, so redeliveries —
+  * in order or out of order — converge to exactly-once application.
+  * StreamingSpec feeds sink_merge_upsert's changeset through micro-batches,
+  * replays two stale ids, and asserts row equality with the batch sink.
+  */
+object MergeSink {
+  private def appliedMarker(root: String, id: Long) =
+    new java.io.File(s"$root/_applied_$id")
+
+  private def latestVersion(root: String): Int =
+    new java.io.File(root).listFiles() match {
+      case null => -1
+      case fs => fs.map(_.getName).filter(_.matches("v\\d+"))
+        .map(_.drop(1).toInt).foldLeft(-1)(math.max)
+    }
+
+  /** Number of snapshot versions written so far (spec observability). */
+  def versionCount(root: String): Int = latestVersion(root) + 1
+
+  /** Write snapshot v0. Must run before the stream starts. */
+  def initTarget(base: DataFrame, root: String): Unit = {
+    new java.io.File(root).mkdirs(): Unit
+    base.write.mode("overwrite").parquet(s"$root/v0")
+  }
+
+  /** The foreachBatch body: curried so `mergeBatch(root, key) _` plugs
+    * straight into `writeStream.foreachBatch`. */
+  def mergeBatch(root: String, key: String)(batch: DataFrame, batchId: Long): Unit = {
+    if (appliedMarker(root, batchId).exists()) return // redelivery: no-op
+    val spark = batch.sparkSession
+    val v = latestVersion(root)
+    require(v >= 0, s"MergeSink target $root not initialized (call initTarget)")
+    graft.operators.Sinks.upsert(spark.read.parquet(s"$root/v$v"), batch, key)
+      .write.mode("overwrite").parquet(s"$root/v${v + 1}")
+    appliedMarker(root, batchId).createNewFile(): Unit
+  }
+
+  /** The current snapshot (latest version). */
+  def current(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/v${latestVersion(root)}")
+}

@@ -40,10 +40,10 @@ object ScaleStress {
     * dedup family, IVF ANN, heavy hitters, the sinks, and the round-6b
     * additions (bloom semi-join pushdown, IVM merge, attribution as-of,
     * domain resampling, SLA latency, Pareto, dq sweep, SCD2, cohort LTV,
-    * split, z-order). join_fuzzy_match is deliberately absent: it is
-    * Σ block² BY DESIGN with metadata block keys (see its Scaladoc) — its
-    * scale knob is block granularity, not plan shape, so a fixed-block
-    * sweep would only re-measure the documented quadratic. */
+    * split, z-order). join_fuzzy_match joined the sweep in round 7: its
+    * candidate stage is now a symmetric-delete signature join (work ∝
+    * near-dup density, not Σ block²), so a sub-quadratic wall-clock ratio
+    * is a claim this harness can and must check. */
   private[tools] val headline = Seq(
     "agg_pricing_summary", "scan_pruned", "join_inner_hash", "join_asof",
     "q9_product_profit", "q21_sole_latest_supplier", "evt_session",
@@ -53,7 +53,8 @@ object ScaleStress {
     "join_bloom_prefilter", "agg_incremental", "evt_attribution",
     "llm_domain_resample", "ts_ship_latency", "win_pareto",
     "dq_constraints", "scd2_history", "evt_cohort_ltv",
-    "llm_split_stratified", "sink_zorder")
+    "llm_split_stratified", "sink_zorder", "join_fuzzy_match",
+    "llm_multimodal_decode")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -143,7 +144,20 @@ object ScaleStress {
       // schema-fixed dims: copied, not scaled
       "region" -> t("region"),
       "nation" -> t("nation"),
-      "customer" -> copies(t("customer"), (d, i) => shiftCols(d, i, "c_custkey")),
+      "customer" -> {
+        // Names are regenerated shard-major-densely (value = key + i·(max+1))
+        // so the corpus grows like a real one: N× distinct names at the
+        // base's near-duplicate density. Keeping the base names (or any
+        // remap that leaves copies of one base key 1-2 edits apart) would
+        // put N-cliques of near-identical names in one (nation, segment)
+        // block and square the fuzzy join's OUTPUT — degenerate fan-out,
+        // not data growth, exactly like byte-identical document twins.
+        val keySpan = t("customer").agg(max(col("c_custkey"))).head().getLong(0) + 1
+        copies(t("customer"), (d, i) => shiftCols(
+          d.withColumn("c_name", concat(lit("Customer#"),
+            lpad((col("c_custkey") + lit(i * keySpan)).cast("string"), 9, "0"))),
+          i, "c_custkey"))
+      },
       "supplier" -> copies(t("supplier"), (d, i) => shiftCols(d, i, "s_suppkey")),
       "part" -> copies(t("part"), (d, i) => shiftCols(d, i, "p_partkey")),
       "orders" -> copies(t("orders"), (d, i) => shiftCols(d, i, "o_orderkey", "o_custkey")),

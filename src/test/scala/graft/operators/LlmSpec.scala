@@ -83,6 +83,19 @@ class LlmSpec extends SparkSpec {
     assert(ann.groupBy(_._1).forall(_._2.size <= 5))
   }
 
+  test("ANN IVF recall@5 stays >= 0.4 at sf0.1 (pins the nprobe/recall trade)") {
+    // the recall the 100x sweep measured (0.44 at b=2) lives here as a
+    // GATE, so a future "make ANN faster" change cannot silently re-trade
+    // recall away. Runs on the real sf0.1 embeddings like the sweep did.
+    val sfBig = "/root/testdata/sf0.1"
+    val brute = LlmVector.llmCosineTopk(spark, sfBig)
+      .select("a", "nn").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = LlmVector.llmAnnIvf(spark, sfBig)
+      .select("a", "nn").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall@5 at sf0.1 was $recall — the nprobe budget regressed")
+  }
+
   test("GRFT container pack/decode round-trips per-payload features") {
     val feats = MultimodalOps.decode(MultimodalOps.pack(MultimodalOps.fromDocuments(spark, sf001)))
       .collect().map(f => f.doc_id -> f).toMap

@@ -7,6 +7,10 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
+/** Changeset row for the MergeSink spec — matches Sinks.mergeInputs' schema. */
+case class MergeChangeRow(o_orderkey: Long, o_custkey: Long,
+                          o_orderstatus: String, o_totalprice: Double)
+
 /** Structured Streaming semantics (SURVEY.md §2.9 ✗-oracle rows): watermarks,
   * late-data drop, session merge across batches, dedup-within-watermark,
   * arbitrary state. Watermark timing note: the watermark used during batch N
@@ -103,6 +107,46 @@ class StreamingSpec extends SparkSpec {
     val second = spark.sql("SELECT user, count FROM t_file").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(second == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("exactly-once streaming MERGE converges to the batch upsert despite replays") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sf = sf001
+    val root = java.nio.file.Files.createTempDirectory("graft_merge_sink").toString
+    val (target, changeset) = graft.operators.Sinks.mergeInputs(spark, sf)
+    MergeSink.initTarget(target, root)
+    // the SAME changeset the batch sink applies in one shot, split into 3
+    // key-disjoint micro-batches (disjointness ⇒ application order can't
+    // change the final state, so convergence is exact, not best-effort)
+    val batches = (0 until 3).map { i =>
+      import org.apache.spark.sql.functions.{hash, lit, pmod}
+      changeset.filter(pmod(hash(col("o_orderkey")), lit(3)) === i)
+        .as[MergeChangeRow].collect().toSeq
+    }
+    assert(batches.map(_.size).sum > 0 && batches.forall(_.nonEmpty))
+    val in = MemoryStream[MergeChangeRow]
+    val q = in.toDF.writeStream
+      .foreachBatch(MergeSink.mergeBatch(root, "o_orderkey") _)
+      .start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val versionsAfterStream = MergeSink.versionCount(root)
+    // at-least-once redelivery, OUT OF ORDER: re-offer already-applied ids
+    // 1 then 0 — the applied-id log must make both no-ops
+    MergeSink.mergeBatch(root, "o_orderkey")(spark.createDataset(batches(1)).toDF(), 1L)
+    MergeSink.mergeBatch(root, "o_orderkey")(spark.createDataset(batches(0)).toDF(), 0L)
+    assert(MergeSink.versionCount(root) === versionsAfterStream,
+      "replayed batch ids must not write new snapshot versions")
+    // final snapshot row-equals the batch MERGE (sink_merge_upsert minus
+    // its op audit column)
+    val streamed = MergeSink.current(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    val batchMerge = graft.SparkEntry.queries("sink_merge_upsert")(spark, sf)
+      .drop("op").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    assert(streamed === batchMerge, "streamed MERGE must converge to the batch snapshot")
   }
 
   test("foreachBatch sink observes each micro-batch with its id") {
