@@ -260,25 +260,47 @@ object Joins {
     * 9-char "Customer#" prefix because every variant retains the digit
     * suffix that actually distinguishes rows — the reason a PREFIX-segment
     * PassJoin scheme was vacuous here. The (nk, seg, sig) equi key keeps
-    * the candidate step a plain shuffled hash join; heavy signature classes
-    * (e.g. tail-deletion stems shared by ~100 consecutive keys) are further
-    * split ~125-ways by the block columns riding in the join key. */
-  def joinFuzzyMatch(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.functions.DeletionVariants.register(spark)
-    val c = Tables.customer(spark, sfDir)
+    * the candidate step a shuffled sort-merge join (spill-safe at any
+    * corpus size — see the hint note in fuzzyCandidates); heavy signature
+    * classes (e.g. tail-deletion stems shared by ~100 consecutive keys) are
+    * further split ~125-ways by the block columns riding in the join key. */
+  /** The signature-join candidate stage, separated so the spec can assert
+    * its growth law directly: candidate volume on a corpus with dense
+    * distinct names must grow ~linearly with rows (the de-quadratization
+    * claim), which wall-clock sweeps can only suggest but a pair count
+    * proves. Input needs customer-shaped columns (c_nationkey,
+    * c_mktsegment, c_custkey, c_name). */
+  private[graft] def fuzzyCandidates(c: DataFrame): DataFrame = {
+    graft.functions.DeletionVariants.register(c.sparkSession)
     val a = c.select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
       col("c_custkey").as("k1"), col("c_name").as("name1"),
       explode(call_function("graft_del_variants", col("c_name"), lit(2))).as("sig"))
     val b = c.select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
       col("c_custkey").as("k2"), col("c_name").as("name2"),
       explode(call_function("graft_del_variants", col("c_name"), lit(2))).as("sig"))
-    // threshold form = banded DP (O(k·n) per pair, early exit; returns -1
-    // beyond the bound). Semantics identical to `levenshtein(a,b) <= 2`,
-    // which is what the DuckDB oracle replays.
-    a.join(b, Seq("nk", "seg", "sig"))
+    // The merge hint is load-bearing, twice over. (1) Catalyst's size
+    // estimate does not account for the ~n²/2-way explode, so the planner
+    // sees two "customer-sized" inputs and picks a broadcast hash join —
+    // which materializes the multi-GB exploded side on the driver
+    // (measured 9.9 GiB at a 30× corpus: broadcast-limit failure; 3.3 GiB
+    // at 10×: a silent 6× slowdown). (2) A shuffle_hash hint fixes the
+    // broadcast but trades it for a per-partition hash map built over
+    // exploded-side partitions — measured SparkOutOfMemoryError at a 100×
+    // corpus (≈8M signature rows per partition at 32 shuffle partitions).
+    // Sort-merge is the only strategy here whose memory is O(spill): both
+    // sides sort-spill to disk, so the candidate join survives any corpus
+    // size at any partition count, and AQE's skew-split applies to it.
+    a.hint("merge").join(b.hint("merge"), Seq("nk", "seg", "sig"))
       .filter(col("k1") < col("k2"))
       .select("nk", "k1", "k2", "name1", "name2")
       .distinct()
+  }
+
+  def joinFuzzyMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    // threshold form = banded DP (O(k·n) per pair, early exit; returns -1
+    // beyond the bound). Semantics identical to `levenshtein(a,b) <= 2`,
+    // which is what the DuckDB oracle replays.
+    fuzzyCandidates(Tables.customer(spark, sfDir))
       .filter(levenshtein(col("name1"), col("name2"), 2) =!= -1)
       .join(broadcast(Tables.nation(spark, sfDir)), col("nk") === col("n_nationkey"))
       .groupBy("n_name")

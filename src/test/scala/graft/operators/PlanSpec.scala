@@ -129,12 +129,23 @@ class PlanSpec extends SparkSpec {
       s"rates (cardinality = #domains) must broadcast:\n$plan")
   }
 
-  test("fuzzy join stays a hash/merge join on the block keys, never nested-loop") {
+  test("fuzzy join candidate stage is SHUFFLED on the signature key, never broadcast") {
+    // The broadcast form is the scale killer this round's sweep caught:
+    // Catalyst can't see through the deletion-variant explode, estimates
+    // both sides customer-sized, and picks a broadcast hash join whose
+    // build side materializes the full exploded signature table on the
+    // driver (9.9 GiB at a 30× corpus — over the 8 GiB broadcast limit).
+    // The shuffle_hash hint in joinFuzzyMatch pins the shuffled plan; this
+    // test pins the hint.
     val plan = formatted(Joins.joinFuzzyMatch(spark, sf001))
-    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
-      plan.contains("BroadcastHashJoin"), s"no equi join planned:\n$plan")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"candidate join must shuffle on (nk, seg, sig):\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"fuzzy join degenerated to all-pairs:\n$plan")
+    // the only broadcast allowed is the 25-row nation dimension at the end
+    val bhjNodes = """\(\d+\) BroadcastHashJoin""".r.findAllIn(plan).size
+    assert(bhjNodes <= 1,
+      s"expected at most the nation broadcast, saw $bhjNodes broadcast joins:\n$plan")
   }
 
   test("cohort LTV broadcasts the per-week cohort-size table") {
