@@ -185,4 +185,17 @@ object MergeSink {
   /** The current snapshot (latest version). */
   def current(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/v${latestVersion(root)}")
+
+  /** Time travel: the snapshot as of `version` — every version the MERGE
+    * protocol ever committed stays readable (the lakehouse VERSION AS OF
+    * idiom; here versions are the immutable per-batch parquet snapshots the
+    * exactly-once log already maintains, so time travel costs nothing
+    * extra). Fails with a clear message rather than a parquet path error
+    * when the version was never committed. */
+  def asOf(spark: org.apache.spark.sql.SparkSession, root: String, version: Int): DataFrame = {
+    val latest = latestVersion(root)
+    require(version >= 0 && version <= latest,
+      s"version $version does not exist in $root (have 0..$latest)")
+    spark.read.parquet(s"$root/v$version")
+  }
 }

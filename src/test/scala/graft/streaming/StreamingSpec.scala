@@ -147,6 +147,21 @@ class StreamingSpec extends SparkSpec {
       .drop("op").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
     assert(streamed === batchMerge, "streamed MERGE must converge to the batch snapshot")
+    // time travel: every committed version stays readable. v0 is the
+    // pre-stream target; each later version adds exactly one batch's keys
+    // (batches are key-disjoint, so version k's row count is v0 + the
+    // cumulative INSERT rows — updates replace in place).
+    def keysAt(v: Int): Set[Long] =
+      MergeSink.asOf(spark, root, v).select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val v0Keys = target.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(keysAt(0) === v0Keys, "v0 must be the pre-stream snapshot, bit for bit")
+    val inserted = batches.map(_.map(_.o_orderkey).filterNot(v0Keys).toSet)
+    (1 to 3).foreach { k =>
+      assert(keysAt(k) === v0Keys ++ inserted.take(k).flatten,
+        s"v$k must hold exactly the first $k batches' inserts over v0")
+    }
+    intercept[IllegalArgumentException](MergeSink.asOf(spark, root, 4))
+    intercept[IllegalArgumentException](MergeSink.asOf(spark, root, -1))
   }
 
   test("foreachBatch sink observes each micro-batch with its id") {
