@@ -53,7 +53,7 @@ object Scans {
     * only to build plans still triggers the writes. */
   private val registeredRoots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)
     f.delete(): Unit

@@ -218,10 +218,85 @@ object Sinks {
           greatest(col("g_phi") - col("g_plo"), lit(1L))), 4).as("avg_relspan_partkey"))
   }
 
+  /** Lakehouse VERSION AS OF as a declared, oracle-checked query: the
+    * exactly-once MERGE protocol (graft.streaming.MergeSink) applied in
+    * three key-disjoint batches (pmod 3 of the key) over the same
+    * deterministic changeset the batch MERGE uses, then read back AS OF
+    * version 2 — the state after batches 0 and 1, before batch 2. The
+    * DuckDB oracle recomputes that intermediate state as a FULL JOIN merge
+    * restricted to the first two batches' keys, so the version the
+    * time-travel reader returns is hash-checked, not just row-counted.
+    * Each run re-executes the full protocol from a clean root (delete +
+    * init + 3 merges) so reruns stay deterministic and the timing reflects
+    * the protocol. Scale shape: each mergeBatch is the same single
+    * full-outer shuffle join as sink_merge_upsert; versions are immutable
+    * snapshots, so AS OF is a plain parquet scan of v2. */
+  def sinkTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = s"${Scans.tmpRoot(spark)}/ttravel_orders"
+    Scans.deleteRecursively(new java.io.File(root))
+    val (target, changes) = mergeInputs(spark, sfDir)
+    graft.streaming.MergeSink.initTarget(target, root)
+    (0L to 2L).foreach { b =>
+      graft.streaming.MergeSink.mergeBatch(root, "o_orderkey")(
+        changes.filter(pmod(col("o_orderkey"), lit(3)) === lit(b)), b)
+    }
+    graft.streaming.MergeSink.asOf(spark, root, 2).orderBy("o_orderkey")
+  }
+
+  /** Range-partitioned file count for the manifest-pruned snapshot. */
+  private[operators] val ManifestFiles = 8
+
+  /** (files read, pruned DataFrame) — separated so the spec can assert the
+    * physical footprint (strictly fewer files than written) independently
+    * of the oracle-checked result. */
+  private[operators] def prunedScan(spark: SparkSession, sfDir: String): (Int, DataFrame) = {
+    val out = s"${Scans.tmpRoot(spark)}/manifest_orders"
+    Tables.orders(spark, sfDir)
+      .repartitionByRange(ManifestFiles, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(out)
+    // the manifest: per-file key stats, computed DISTRIBUTEDLY (one
+    // groupBy over input_file_name — at 100 TB this job is the table
+    // format's manifest writer, amortized over commits, not per read)
+    val manifest = spark.read.parquet(out)
+      .select(input_file_name().as("f"), col("o_orderkey"))
+      .groupBy("f")
+      .agg(min("o_orderkey").as("flo"), max("o_orderkey").as("fhi"))
+    // predicate = the bottom quarter of the key span, derived from the
+    // table so every SF exercises real pruning; the bounds agg is a 1-row
+    // planning scalar (same class as zorderFiles' byte count), not data
+    val bounds = Tables.orders(spark, sfDir)
+      .agg(min("o_orderkey").as("klo"),
+        (min("o_orderkey") + floor((max("o_orderkey") - min("o_orderkey")) / 4)
+          .cast("long")).as("khi")).head()
+    val (klo, khi) = (bounds.getLong(0), bounds.getLong(1))
+    // plan against the MANIFEST: collecting it is O(#files) planning
+    // metadata — the listing every table format's driver does — never data
+    val files = manifest
+      .filter(col("flo") <= khi && col("fhi") >= klo)
+      .select("f").collect().map(_.getString(0)).sorted
+    (files.length,
+      spark.read.parquet(files.toIndexedSeq: _*)
+        .filter(col("o_orderkey").between(klo, khi)))
+  }
+
+  /** Manifest-based file skipping — the table-format data-skipping read
+    * path (Delta/Iceberg style) over plain parquet: orders written as
+    * `ManifestFiles` range-partitioned files, a manifest of per-file
+    * (min, max) key stats computed distributedly, and a key-range
+    * predicate planned against the manifest so only overlapping files are
+    * opened. The spec asserts the physical claim (fewer files read); the
+    * DuckDB oracle checks the logical claim (result ≡ plain filter over
+    * the full table). */
+  def sinkManifestPrune(spark: SparkSession, sfDir: String): DataFrame =
+    prunedScan(spark, sfDir)._2.orderBy("o_orderkey")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sink_merge_upsert" -> sinkMergeUpsert,
     "sink_compaction" -> sinkCompaction,
     "sink_zorder" -> sinkZorder,
+    "sink_time_travel" -> sinkTimeTravel,
+    "sink_manifest_prune" -> sinkManifestPrune,
   )
 
   val oracles: Map[String, String] = Map(
@@ -243,5 +318,35 @@ object Sinks {
         |       ELSE 'update' END AS op
         |FROM orders FULL JOIN changeset ON o_orderkey = c_key
         |ORDER BY o_orderkey""".stripMargin,
+    // the state AS OF version 2 = base merged with batches 0 and 1 only
+    // (batches are key-disjoint by pmod 3, so sequential application of
+    // the first two equals one merge of their union); pmod spelled
+    // ((k % 3) + 3) % 3 because DuckDB's % is C-style on the negative
+    // insert keys while Spark's pmod is non-negative
+    "sink_time_travel" ->
+      """WITH changeset AS (
+        |  SELECT o_orderkey AS c_key, o_custkey AS c_custkey, 'R' AS c_status,
+        |    o_totalprice * 1.1 AS c_price
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT -(o_orderkey + 1), o_custkey, 'N', o_totalprice * 0.5
+        |  FROM orders WHERE o_orderkey % 10 = 7),
+        |applied AS (SELECT * FROM changeset WHERE ((c_key % 3) + 3) % 3 <= 1)
+        |SELECT coalesce(c_key, o_orderkey) AS o_orderkey,
+        |  coalesce(c_custkey, o_custkey) AS o_custkey,
+        |  CASE WHEN c_key IS NOT NULL THEN c_status ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN c_key IS NOT NULL THEN c_price ELSE o_totalprice END AS o_totalprice
+        |FROM orders FULL JOIN applied ON o_orderkey = c_key
+        |ORDER BY o_orderkey""".stripMargin,
+    // logical half of the manifest-pruned scan: a plain key-range filter
+    // over the full table (the physical fewer-files half is spec-gated —
+    // file footprints aren't observable from SQL)
+    "sink_manifest_prune" ->
+      """WITH b AS (SELECT min(o_orderkey) AS klo,
+        |  min(o_orderkey) + (max(o_orderkey) - min(o_orderkey)) // 4 AS khi
+        |  FROM orders)
+        |SELECT o.* FROM orders o, b
+        |WHERE o.o_orderkey BETWEEN b.klo AND b.khi
+        |ORDER BY o.o_orderkey""".stripMargin,
   )
 }

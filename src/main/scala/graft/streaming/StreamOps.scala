@@ -196,6 +196,25 @@ object MergeSink {
     val latest = latestVersion(root)
     require(version >= 0 && version <= latest,
       s"version $version does not exist in $root (have 0..$latest)")
+    require(new java.io.File(s"$root/v$version").exists(),
+      s"version $version of $root was vacuumed (retention kept later versions only)")
     spark.read.parquet(s"$root/v$version")
+  }
+
+  /** Retention: physically remove all but the `keepLast` most recent
+    * snapshot versions (the lakehouse VACUUM). The applied-id log is
+    * untouched — exactly-once idempotence must survive retention, or a
+    * redelivered old batch id would re-apply after a vacuum. Vacuumed
+    * versions fail `asOf` with a clear retention message; `current` and
+    * every kept version are unaffected. Returns the removed version
+    * numbers (spec observability). */
+  def vacuum(root: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val latest = latestVersion(root)
+    val removed = (0 to latest - keepLast)
+      .filter(v => new java.io.File(s"$root/v$v").exists())
+    removed.foreach(v =>
+      graft.operators.Scans.deleteRecursively(new java.io.File(s"$root/v$v")))
+    removed
   }
 }

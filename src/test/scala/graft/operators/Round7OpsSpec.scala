@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import graft.streaming.MergeSink
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for the round-7 lakehouse surface: time travel over
+  * the MERGE protocol's versioned snapshots, manifest-based file skipping
+  * (the physical fewer-files half the DuckDB oracle can't see), and
+  * snapshot retention (VACUUM) — which must not break exactly-once
+  * idempotence or the kept versions. */
+class Round7OpsSpec extends SparkSpec {
+
+  test("time travel: v2 is exactly base + the first two batches' effect") {
+    val orders = Tables.orders(spark, sf001)
+    val v2 = Sinks.sinkTimeTravel(spark, sf001)
+    // the protocol wrote v0..v3
+    val root = s"${Scans.tmpRoot(spark)}/ttravel_orders"
+    assert(MergeSink.versionCount(root) === 4, "init + 3 batches = 4 versions")
+    // row accounting: updates replace in place, inserts (key%10==7, pmod
+    // 3 of -(k+1) in {0,1}) add rows
+    val base = orders.count()
+    val insertsApplied = orders
+      .filter(col("o_orderkey") % 10 === 7)
+      .filter(pmod(-(col("o_orderkey") + 1), lit(3)) <= 1).count()
+    assert(v2.count() === base + insertsApplied, "v2 row accounting")
+    // the final version equals the one-shot batch MERGE (same kernel,
+    // batches key-disjoint => order-free), column for column
+    val oneShot = Sinks.merged(spark, sf001).drop("op")
+    val vLast = MergeSink.current(spark, root)
+    assert(vLast.exceptAll(oneShot).isEmpty && oneShot.exceptAll(vLast).isEmpty,
+      "sequential batch application must converge to the one-shot MERGE")
+  }
+
+  test("manifest prune reads strictly fewer files and loses no rows") {
+    val (nFiles, pruned) = Sinks.prunedScan(spark, sf001)
+    assert(nFiles >= 1 && nFiles < Sinks.ManifestFiles,
+      s"a quarter-span predicate must skip files: read $nFiles of ${Sinks.ManifestFiles}")
+    // logical equivalence vs a plain filter on the source (the oracle
+    // asserts this at sf0.01 via DuckDB; here at a second SF)
+    val orders = Tables.orders(spark, sf001)
+    val b = orders.agg(min("o_orderkey").as("klo"),
+      (min("o_orderkey") + floor((max("o_orderkey") - min("o_orderkey")) / 4)
+        .cast("long")).as("khi")).head()
+    val expected = orders
+      .filter(col("o_orderkey").between(b.getLong(0), b.getLong(1)))
+    assert(pruned.count() === expected.count())
+    assert(pruned.exceptAll(expected).isEmpty && expected.exceptAll(pruned).isEmpty,
+      "pruned scan must equal the full-scan filter")
+  }
+
+  test("vacuum keeps the recent versions readable and fails old ones clearly") {
+    import spark.implicits._
+    val root = s"${Scans.tmpRoot(spark)}/vacuum_demo"
+    Scans.deleteRecursively(new java.io.File(root))
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    MergeSink.initTarget(base, root)
+    (0L to 2L).foreach { b =>
+      MergeSink.mergeBatch(root, "k")(Seq((10L + b, s"n$b")).toDF("k", "v"), b)
+    }
+    assert(MergeSink.versionCount(root) === 4)
+    val removed = MergeSink.vacuum(root, keepLast = 2)
+    assert(removed === Seq(0, 1), s"retention of 2 over v0..v3 removes v0,v1: $removed")
+    // kept versions unaffected
+    assert(MergeSink.current(spark, root).count() === 2 + 3)
+    assert(MergeSink.asOf(spark, root, 2).count() === 2 + 2)
+    // vacuumed version fails with the retention message, not a path error
+    val e = intercept[IllegalArgumentException](MergeSink.asOf(spark, root, 1))
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    // idempotence survives retention: a redelivered old batch id stays a no-op
+    MergeSink.mergeBatch(root, "k")(Seq((999L, "dup")).toDF("k", "v"), 0L)
+    assert(MergeSink.versionCount(root) === 4, "replayed id 0 must not re-apply")
+    // vacuum again with nothing to do is a clean no-op
+    assert(MergeSink.vacuum(root, keepLast = 4) === Seq.empty)
+  }
+}
