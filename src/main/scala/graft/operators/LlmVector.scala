@@ -252,7 +252,21 @@ object LlmVector {
     // where the narrow one is 24 bytes/row; consumers re-attach embeddings
     // by vec_id equi-join (linear). Lazy (PlanSpec can still build plans
     // without triggering jobs).
-    Fanout.broadcastAll(emb(spark, sfDir).select("vec_id", "embedding", "nrm"),
+    // Pin the scoring fan-out's parallelism to the session's shuffle width,
+    // not the source file layout: the embeddings scan packs into a handful
+    // of input splits (the 100-file synthesized table at 100× reads as ~4),
+    // and the broadcast fan-out + cache PRESERVE that partitioning into
+    // every per-vector consumer — at 100× the argmax/probe-window sorts ran
+    // as ~640M-row single-task sorts and one sweep measured an executor
+    // OOM (UnsafeExternalSorter pointer-array growth under GC-locker
+    // pressure). Hashing by vec_id makes the N×k dot-product stage
+    // CPU-parallel and bounds per-task sort memory; both consumers group/
+    // window on vec_id, so they reuse this partitioning with no further
+    // exchange of the N×k relation.
+    val parts = spark.sessionState.conf.numShufflePartitions
+    Fanout.broadcastAll(
+        emb(spark, sfDir).select("vec_id", "embedding", "nrm")
+          .repartition(parts, col("vec_id")),
         centroids, col("vec_id"), col("cell"))
       .withColumn("dist2cell", dot("embedding", "centroid") /
         (col("nrm") * col("centroid_nrm")))
