@@ -43,7 +43,11 @@ object ScaleStress {
     * split, z-order). join_fuzzy_match joined the sweep in round 7: its
     * candidate stage is now a symmetric-delete signature join (work ∝
     * near-dup density, not Σ block²), so a sub-quadratic wall-clock ratio
-    * is a claim this harness can and must check. */
+    * is a claim this harness can and must check. The round-7 lakehouse
+    * sinks (time travel = 3 sequential merge batches from a clean root,
+    * manifest prune = range-partitioned rewrite + per-file stats + pruned
+    * read) are swept too: both re-execute their write path per run, so
+    * their ratios bound the full protocol, not just the read. */
   private[tools] val headline = Seq(
     "agg_pricing_summary", "scan_pruned", "join_inner_hash", "join_asof",
     "q9_product_profit", "q21_sole_latest_supplier", "evt_session",
@@ -54,7 +58,7 @@ object ScaleStress {
     "llm_domain_resample", "ts_ship_latency", "win_pareto",
     "dq_constraints", "scd2_history", "evt_cohort_ltv",
     "llm_split_stratified", "sink_zorder", "join_fuzzy_match",
-    "llm_multimodal_decode")
+    "llm_multimodal_decode", "sink_time_travel", "sink_manifest_prune")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
