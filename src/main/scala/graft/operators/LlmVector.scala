@@ -162,9 +162,9 @@ object LlmVector {
     * for the LIFETIME OF THE SESSION — the intended beneficiary is the
     * shared Verify/Bench session, where `llm_ann_ivf` and `llm_knn_label`
     * (2 consumers × 2 uses each) amortize one centroid-pipeline build; the
-    * pinned footprint is bounded at k·n narrow rows plus one embedding copy,
-    * which is exactly what a real IVF deployment keeps resident as its
-    * serving index. Storage is released with the session (stopping the
+    * pinned footprint is bounded at ≤(3+2·MaxBits) narrow rows per vector
+    * (the ranked probe shortlist) plus one embedding copy, which is exactly
+    * what a real IVF deployment keeps resident as its serving index. Storage is released with the session (stopping the
     * SparkContext drops its cached blocks), so no explicit unpersist hook is
     * needed; the memo map exists so repeated query invocations reuse the ONE
     * cached plan instead of re-calling .cache() per invocation (which logged
@@ -241,17 +241,28 @@ object LlmVector {
         round(col(s"s$i") / col("n"), 4).cast("float")): _*).as("centroid"))
       // norm once per centroid BEFORE the broadcast, not once per (vector, cell) pair
       .withColumn("centroid_nrm", norm("centroid"))
-    // Cached NARROW (vec_id, cell, dist2cell): the scored (vector × cell)
-    // relation is consumed twice per query (argmax index side + top-3 probe
-    // side) and by TWO declared queries (llm_ann_ivf, llm_knn_label) in the
-    // same session; without the cache each consumer re-plans and re-codegens
-    // the whole centroid pipeline (~5 s one-time vs ~1.8 s warm at sf0.1).
-    // Round 6 dropped the embedding/nrm columns from this N×k fan-out: at
+    // Cached NARROW ranked top cells (vec_id, cell, dist2cell, cell_rank):
+    // the relation is consumed twice per query (rank-1 index side + top-
+    // (3+2b) probe side) and by TWO declared queries (llm_ann_ivf,
+    // llm_knn_label) in the same session; without the cache each consumer
+    // re-plans and re-codegens the whole centroid pipeline (~5 s one-time
+    // vs ~1.8 s warm at sf0.1).
+    // Round 6 dropped the embedding/nrm columns from the N×k fan-out: at
     // 30× data the wide version cached ~64-float arrays per (vector, cell)
     // pair — gigabytes of duplicated vectors and the measured GC wall —
     // where the narrow one is 24 bytes/row; consumers re-attach embeddings
-    // by vec_id equi-join (linear). Lazy (PlanSpec can still build plans
-    // without triggering jobs).
+    // by vec_id equi-join (linear). Round 7 moved the per-vector cell
+    // ranking INSIDE the cache and keeps only rank ≤ 3+2·MaxBits: no
+    // consumer ever reads past the max probe budget, so caching the full
+    // N×k fan-out (~61 GB at 100× — the measured disk-bandwidth wall of
+    // this query) buys nothing over the ~19 rows/vector that survive the
+    // cap (~134× smaller, memory-resident at every measured scale). The
+    // literal cap also lets Catalyst plan the rank filter as a
+    // WindowGroupLimit, draining each partition's sort to ≤19 rows/vector
+    // before anything is cached. The ranking runs once at build time on
+    // the vec_id-partitioned fan-out (exchange-free local sort) instead of
+    // once per consumer. Lazy (PlanSpec can still build plans without
+    // triggering jobs).
     // Pin the scoring fan-out's parallelism to the session's shuffle width,
     // not the source file layout: the embeddings scan packs into a handful
     // of input splits (the 100-file synthesized table at 100× reads as ~4),
@@ -264,39 +275,39 @@ object LlmVector {
     // window on vec_id, so they reuse this partitioning with no further
     // exchange of the N×k relation.
     val parts = spark.sessionState.conf.numShufflePartitions
-    Fanout.broadcastAll(
+    val scored = Fanout.broadcastAll(
         emb(spark, sfDir).select("vec_id", "embedding", "nrm")
           .repartition(parts, col("vec_id")),
         centroids, col("vec_id"), col("cell"))
       .withColumn("dist2cell", dot("embedding", "centroid") /
         (col("nrm") * col("centroid_nrm")))
       .select("vec_id", "cell", "dist2cell")
+    val wCell = Window.partitionBy("vec_id").orderBy(desc("dist2cell"), asc("cell"))
+    scored
+      .withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= lit(3 + 2 * MaxBits))
       .cache()
   }
 
   /** IVF-style ANN candidates → top-5: each vector indexes into its nearest
     * cell and probes the 3+2b nearest cells at query time, so candidate
-    * generation is an equi-join on cell id — never all pairs. The index
-    * side's "nearest cell" is a partial-aggregating argmax (max of a
-    * (dist, -cell, payload) struct — identical tie-break to the rank-1
-    * window row, highest similarity then smallest cell, but partial-merge
-    * friendly and one planned branch lighter); only the top-3 probe side
-    * needs a window. Deterministic (rounded centroids, total orders), hence
-    * oracle-checkable; LlmSpec additionally measures recall vs the exact
-    * baseline. This is the 100-TB similarity-search path. */
+    * generation is an equi-join on cell id — never all pairs. Both sides
+    * read the ONE cached per-vector cell ranking (cellScored): the index
+    * side is the rank-1 row (highest similarity, ties to the smallest
+    * cell), the probe side ranks ≤ 3+2b — no argmax aggregate and no
+    * per-consumer window re-sort. Deterministic (rounded centroids, total
+    * orders), hence oracle-checkable; LlmSpec additionally measures recall
+    * vs the exact baseline. This is the 100-TB similarity-search path. */
   private def annTopkCore(spark: SparkSession, sfDir: String): DataFrame = {
-    val scored = cellScored(spark, sfDir)
-    // scored is narrow (round 6) — embeddings re-attach by vec_id equi-join
-    // (linear, broadcast at small N / shuffled at scale) instead of riding
-    // every (vector, cell) row through the argmax struct
+    val ranked = cellScored(spark, sfDir)
+    // ranked is narrow (round 6/7) — embeddings re-attach by vec_id
+    // equi-join (linear, broadcast at small N / shuffled at scale) instead
+    // of riding every ranked row through the join
     val vecs = emb(spark, sfDir).select("vec_id", "embedding", "nrm")
-    val best = max(struct(col("dist2cell").as("d"), (lit(0L) - col("cell")).as("nc")))
-    val indexed = scored.groupBy("vec_id").agg(best.as("b0"))
-      .select(col("vec_id"), (lit(0L) - col("b0.nc")).as("cell"))
+    val indexed = ranked.filter(col("cell_rank") === 1)
       .join(vecs, "vec_id")
       .select(col("vec_id").as("b"), col("cell"),
         col("embedding").as("eb"), col("nrm").as("nb"))
-    val wCell = Window.partitionBy("vec_id").orderBy(desc("dist2cell"), asc("cell"))
     // nprobe scales with the bucket-bit budget (3 + 2b): more cells means
     // each holds a smaller slice of a vector's true neighborhood, so a
     // fixed nprobe=3 would silently trade the round-6 speedup for recall
@@ -304,9 +315,7 @@ object LlmVector {
     // at 3+2b=7). Candidates/vector stay ~bounded (~nprobe · 512-row
     // cells), so total work grows ~N·log N — the textbook IVF knob.
     val nRow = Tables.embeddings(spark, sfDir).agg(count(lit(1)).as("n_total"))
-    val probes = Fanout.broadcastAll(
-        scored.withColumn("cell_rank", row_number().over(wCell)),
-        nRow, col("vec_id"), col("n_total"))
+    val probes = Fanout.broadcastAll(ranked, nRow, col("vec_id"), col("n_total"))
       .filter(col("cell_rank") <= lit(3) + lit(2) * bucketBits(col("n_total")))
       .join(vecs, "vec_id")
       .select(col("vec_id").as("a"), col("cell"),
