@@ -272,11 +272,18 @@ object Joins {
     * c_mktsegment, c_custkey, c_name). */
   private[graft] def fuzzyCandidates(c: DataFrame): DataFrame = {
     graft.functions.DeletionVariants.register(c.sparkSession)
+    // The exploded relation multiplies EVERY byte it carries by the ~n²/2
+    // variant fan-out, so it stays NARROW (block key, row key, sig hash):
+    // at a 100× corpus the name strings were ~40% of the candidate join's
+    // ~30 GB sort-spill. Names re-attach by key equi-join AFTER the
+    // pair-level distinct — candidate pairs are bounded by near-dup
+    // density, so the fetch joins the un-exploded table against a far
+    // smaller pair set.
     val a = c.select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
-      col("c_custkey").as("k1"), col("c_name").as("name1"),
+      col("c_custkey").as("k1"),
       explode(call_function("graft_del_variants", col("c_name"), lit(2))).as("sig"))
     val b = c.select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
-      col("c_custkey").as("k2"), col("c_name").as("name2"),
+      col("c_custkey").as("k2"),
       explode(call_function("graft_del_variants", col("c_name"), lit(2))).as("sig"))
     // The merge hint is load-bearing, twice over. (1) Catalyst's size
     // estimate does not account for the ~n²/2-way explode, so the planner
@@ -290,10 +297,19 @@ object Joins {
     // Sort-merge is the only strategy here whose memory is O(spill): both
     // sides sort-spill to disk, so the candidate join survives any corpus
     // size at any partition count, and AQE's skew-split applies to it.
-    a.hint("merge").join(b.hint("merge"), Seq("nk", "seg", "sig"))
+    val pairs = a.hint("merge").join(b.hint("merge"), Seq("nk", "seg", "sig"))
       .filter(col("k1") < col("k2"))
-      .select("nk", "k1", "k2", "name1", "name2")
+      .select("nk", "k1", "k2")
       .distinct()
+    // Name fetch is merge-hinted too: the name side is the full dimension
+    // (broadcast would re-materialize every name per executor — wrong at a
+    // 1B-row customer table), while a key-shuffled sort-merge moves only
+    // the pair set plus one pass of the dimension. PlanSpec's "one
+    // broadcast = nation" cap keeps this pinned.
+    val n1 = c.select(col("c_custkey").as("k1"), col("c_name").as("name1"))
+    val n2 = c.select(col("c_custkey").as("k2"), col("c_name").as("name2"))
+    pairs.join(n1.hint("merge"), Seq("k1")).join(n2.hint("merge"), Seq("k2"))
+      .select("nk", "k1", "k2", "name1", "name2")
   }
 
   def joinFuzzyMatch(spark: SparkSession, sfDir: String): DataFrame = {
