@@ -95,6 +95,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("IVF cell ranking plans a WindowGroupLimit under the literal cap") {
+    // The serving cache keeps only the ranked probe shortlist (rank ≤
+    // 3+2·MaxBits, a LITERAL): Catalyst's InferWindowGroupLimit turns that
+    // filter into a per-partition group limit that drains the ranking sort
+    // to ≤19 rows/vector BEFORE anything is cached. If the cap ever becomes
+    // a non-foldable expression the optimization silently disappears and
+    // the cache re-inflates to the full N×k fan-out (~61 GB at the 100×
+    // sweep point) — this pin makes that a test failure instead.
+    val plan = formatted(LlmVector.llmAnnIvf(spark, sf001))
+    assert(plan.contains("WindowGroupLimit"),
+      s"ranked-shortlist cache lost its WindowGroupLimit drain:\n$plan")
+  }
+
   test("exact cosine pair join stays a shuffled hash join, not a broadcast") {
     // the whole point of the numbered repartition + shuffle_hash hint: left
     // alone, AQE broadcasts the ~20 MB replicated fragment side and the
