@@ -71,13 +71,55 @@ object Windows {
       .orderBy("day")
   }
 
+  /** Global ranking (ntile / percent_rank / cume_dist) over the FULL
+    * customer table — the one declared operator whose naive form is a
+    * global unpartitioned window (WindowExec "No Partition Defined": all N
+    * rows sort in ONE task — fine on toy data, the classic scale killer at
+    * a 1B-row dimension). This form computes the identical total order
+    * (c_acctbal, c_custkey) partition-parallel:
+    *   1. order-preserving VALUE buckets over the acctbal domain (the
+    *      table contract bounds c_acctbal to [-999.99, 9999.99]; equal
+    *      balances share a bucket by construction, out-of-contract values
+    *      clamp to the edge buckets — skew, never wrongness);
+    *   2. per-bucket local ranks — a partition-parallel window;
+    *   3. exclusive prefix offsets over the ≤256-row bucket-count table
+    *      (the only unpartitioned window left runs on ≤256 rows) broadcast
+    *      back, so global rank = offset + local rank;
+    *   4. ntile / percent_rank / cume_dist in closed form from (rank, N) —
+    *      exact because the order key is unique: pr = (r−1)/(N−1),
+    *      cd = r/N, and the standard ntile split (the first N mod 10
+    *      buckets take ⌈N/10⌉ rows, the rest ⌊N/10⌋). The divisions are
+    *      the same double ops the window functions evaluate, so values are
+    *      bit-identical; the DuckDB oracle replays the plain windowed SQL.
+    */
   def winNtileCume(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.orderBy("c_acctbal", "c_custkey")
-    Tables.customer(spark, sfDir)
-      .select(col("c_custkey"), col("c_acctbal"),
-        ntile(10).over(w).cast("long").as("decile"),
-        round(percent_rank().over(w), 6).as("pr"),
-        round(cume_dist().over(w), 6).as("cd"))
+    val nBuckets = 256
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("bkt", least(lit(nBuckets - 1), greatest(lit(0),
+        floor((col("c_acctbal") + lit(1000.0)) / lit(11000.0 / nBuckets)).cast("int"))))
+    val wLocal = Window.partitionBy("bkt").orderBy("c_acctbal", "c_custkey")
+    val wPrefix = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = c.groupBy("bkt").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum("bn").over(wPrefix), lit(0L)))
+      .select("bkt", "off")
+    val nRow = Tables.customer(spark, sfDir).agg(count(lit(1)).as("n_total"))
+    val ranked = Fanout.broadcastAll(
+      c.withColumn("lr", row_number().over(wLocal).cast("long"))
+        .join(broadcast(offsets), Seq("bkt")),
+      nRow, col("c_custkey"), col("n_total"))
+    val r = col("off") + col("lr")
+    val n = col("n_total")
+    val q = floor(n / lit(10)).cast("long")       // small-bucket size
+    val rem = n - q * lit(10)                     // # of (q+1)-sized buckets
+    val decile = when(r <= rem * (q + lit(1)),
+        floor((r - lit(1)) / (q + lit(1))) + lit(1))
+      .otherwise(rem + floor((r - lit(1) - rem * (q + lit(1))) / greatest(q, lit(1L))) + lit(1))
+    ranked.select(col("c_custkey"), col("c_acctbal"),
+        decile.cast("long").as("decile"),
+        when(n === 1, lit(0.0))
+          .otherwise(round((r - lit(1)) / (n - lit(1)), 6)).as("pr"),
+        round(r / n, 6).as("cd"))
       .orderBy("c_custkey")
   }
 
