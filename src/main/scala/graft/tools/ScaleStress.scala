@@ -47,7 +47,11 @@ object ScaleStress {
     * sinks (time travel = 3 sequential merge batches from a clean root,
     * manifest prune = range-partitioned rewrite + per-file stats + pruned
     * read) are swept too: both re-execute their write path per run, so
-    * their ratios bound the full protocol, not just the read. */
+    * their ratios bound the full protocol, not just the read.
+    * win_ntile_cume joined after its round-7 parallelization (global
+    * ranking via value buckets + offset join instead of an unpartitioned
+    * window): the whole point of that rewrite is the 100× shape, so the
+    * sweep must hold it to a ~linear ratio. */
   private[tools] val headline = Seq(
     "agg_pricing_summary", "scan_pruned", "join_inner_hash", "join_asof",
     "q9_product_profit", "q21_sole_latest_supplier", "evt_session",
@@ -58,7 +62,8 @@ object ScaleStress {
     "llm_domain_resample", "ts_ship_latency", "win_pareto",
     "dq_constraints", "scd2_history", "evt_cohort_ltv",
     "llm_split_stratified", "sink_zorder", "join_fuzzy_match",
-    "llm_multimodal_decode", "sink_time_travel", "sink_manifest_prune")
+    "llm_multimodal_decode", "sink_time_travel", "sink_manifest_prune",
+    "win_ntile_cume")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
