@@ -42,7 +42,20 @@ object LlmText {
     * estimated Jaccard ≥ 0.8 (fraction of equal minhash slots). Rows-only:
     * hash permutations are engine-specific (no oracle); the exact companion
     * `llm_jaccard_exact` is the oracle-checked row, and MinHashSpec asserts
-    * estimate quality against exact Jaccard. */
+    * estimate quality against exact Jaccard.
+    *
+    * Byte-discipline note (the round-7 fuzzy-join lesson applied, then
+    * deliberately NOT taken here): the band join carries the 32-long
+    * signature through an 8-way fan-out, which looks like the same
+    * carry-wide-through-fan-out smell — but unlike the fuzzy join's name
+    * strings (dead weight re-attachable from the dimension with a cheap
+    * key join), the signature IS the product of this query's dominant
+    * computation. Narrowing the band rows would mean re-executing the
+    * shingle→permute→groupBy pipeline on two more branches (or
+    * materializing it), trading one 8-way byte fan-out for 3× the heavy
+    * compute — the wrong side of the trade at every scale. A production
+    * deployment breaks the tie by WRITING the signature table once
+    * (sink-side materialization), which is what the narrow form assumes. */
   /** Fixed odd multipliers/offsets for the 32 universal-hash permutations
     * h_i(x) = a_i * x + b_i over the 32-bit-masked shingle hash — hash each
     * shingle ONCE, then permute arithmetically (32 string re-hashes per
