@@ -15,10 +15,12 @@ import graft.Tables
   *
   * Scale notes: all windows partition by a key (customer, segment) — state per
   * partition is bounded by that key's rows, and partitions shuffle-distribute
-  * across executors. The two whole-table windows (`win_ntile_cume`,
-  * `win_moving_avg`) order a *pre-aggregated* or dimension-sized input (15k
-  * customers / 30 days at sf0.1), never the raw fact table, so the single-
-  * partition sort stays trivially small even at 100 TB fact scale.
+  * across executors. The remaining unpartitioned windows order inputs that
+  * are tiny BY CONSTRUCTION (`win_moving_avg`/`win_lag_returns` rank a
+  * pre-aggregated daily series; `winNtileCume`'s prefix window ranks its
+  * ≤256-row bucket-count table). `win_ntile_cume` itself ranked the full
+  * customer dimension in one task until round 7 — see its Scaladoc for the
+  * partition-parallel decomposition that replaced the global window.
   */
 object Windows {
 
@@ -96,14 +98,20 @@ object Windows {
     val nBuckets = 256
     val c = Tables.customer(spark, sfDir)
       .select(col("c_custkey"), col("c_acctbal"))
-      .withColumn("bkt", least(lit(nBuckets - 1), greatest(lit(0),
-        floor((col("c_acctbal") + lit(1000.0)) / lit(11000.0 / nBuckets)).cast("int"))))
+      // clamp BEFORE the int cast: an out-of-contract balance must land in
+      // an edge bucket, not overflow the cast (ANSI mode would throw; the
+      // long-typed floor can exceed Int.MaxValue, the clamped value can't)
+      .withColumn("bkt", least(lit((nBuckets - 1).toLong), greatest(lit(0L),
+        floor((col("c_acctbal") + lit(1000.0)) / lit(11000.0 / nBuckets)))).cast("int"))
     val wLocal = Window.partitionBy("bkt").orderBy("c_acctbal", "c_custkey")
     val wPrefix = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = c.groupBy("bkt").agg(count(lit(1)).as("bn"))
+    // N derives from the bucket counts (their exchange is reused for the
+    // offsets branch) — no second full-table count scan
+    val counts = c.groupBy("bkt").agg(count(lit(1)).as("bn"))
+    val offsets = counts
       .withColumn("off", coalesce(sum("bn").over(wPrefix), lit(0L)))
       .select("bkt", "off")
-    val nRow = Tables.customer(spark, sfDir).agg(count(lit(1)).as("n_total"))
+    val nRow = counts.agg(sum("bn").as("n_total"))
     val ranked = Fanout.broadcastAll(
       c.withColumn("lr", row_number().over(wLocal).cast("long"))
         .join(broadcast(offsets), Seq("bkt")),
