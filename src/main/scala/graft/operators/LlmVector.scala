@@ -398,10 +398,10 @@ object LlmVector {
     * fingerprint. This is the Spark-side plumbing a real pipeline runs
     * before a decode stage (offset arithmetic, per-frame explode, bounded
     * fan-out of len/stride rows per doc — linear, partial-agg friendly);
-    * the decode itself stays stubbed (MultimodalOps.decodeStub — the
-    * image/audio libs are absent in this container), and the frames here
-    * are sliced from the text payload so both engines can fingerprint the
-    * identical bytes. */
+    * the container-level decode lives in MultimodalOps.decode (a real
+    * length-prefixed GRFT parser — codec libs are absent in this container,
+    * so payloads are UTF-8 bytes), and the frames here are sliced from the
+    * text payload so both engines can fingerprint the identical bytes. */
   def llmFrameSample(spark: SparkSession, sfDir: String): DataFrame = {
     val frameLen = 16
     val stride = 64

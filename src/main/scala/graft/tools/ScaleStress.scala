@@ -63,7 +63,11 @@ object ScaleStress {
     "dq_constraints", "scd2_history", "evt_cohort_ltv",
     "llm_split_stratified", "sink_zorder", "join_fuzzy_match",
     "llm_multimodal_decode", "sink_time_travel", "sink_manifest_prune",
-    "win_ntile_cume")
+    "win_ntile_cume",
+    // round 8: the three most pair-shaped operators that were not yet
+    // ratio-measured — banded-LSH minhash dedup, the blocked cosine top-k
+    // pair join, and the IVF-shortlist kNN labeler
+    "llm_dedup_minhash", "llm_cosine_topk", "llm_knn_label")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -162,9 +166,18 @@ object ScaleStress {
         // block and square the fuzzy join's OUTPUT — degenerate fan-out,
         // not data growth, exactly like byte-identical document twins.
         val keySpan = t("customer").agg(max(col("c_custkey"))).head().getLong(0) + 1
+        // The pad width must exceed every regenerated value's digit count:
+        // lpad TRUNCATES beyond the width, which would collapse runs of
+        // consecutive keys to one identical name — exactly the degenerate
+        // near-dup clique this regeneration exists to avoid. 13 digits
+        // covers keySpan·mult up to 10^13 (sf1000 at 100× is ~10^9);
+        // the require makes a future overflow loud instead of silent.
+        val padWidth = 13
+        require(keySpan * mult < math.pow(10, padWidth).toLong,
+          s"customer name pad width $padWidth too narrow for keySpan=$keySpan mult=$mult")
         copies(t("customer"), (d, i) => shiftCols(
           d.withColumn("c_name", concat(lit("Customer#"),
-            lpad((col("c_custkey") + lit(i * keySpan)).cast("string"), 9, "0"))),
+            lpad((col("c_custkey") + lit(i * keySpan)).cast("string"), padWidth, "0"))),
           i, "c_custkey"))
       },
       "supplier" -> copies(t("supplier"), (d, i) => shiftCols(d, i, "s_suppkey")),

@@ -105,21 +105,32 @@ object GraftProps extends Properties("graft") {
   // pair before the exact confirm can see it. Apply ≤2 random edits
   // (insert/delete/substitute) to a random string and require a non-empty
   // hash intersection — pure-JVM, same code path codegen calls.
+  //
+  // The alphabet deliberately mixes ASCII with 2- and 3-byte-UTF-8 BMP
+  // codepoints: the confirm (levenshtein) counts CHARACTER edits, so the
+  // variants must be generated over codepoints — a byte-level variant
+  // scheme passes this property on ASCII but fails it on the accented/CJK
+  // names below (2 char edits = up to 6 byte edits). BMP-only keeps one
+  // UTF-16 char = one codepoint, so `patch` positions are codepoint
+  // positions and an edit here is exactly one levenshtein edit.
+  private val editAlphabet: IndexedSeq[Char] =
+    (('a' to 'z') ++ ('0' to '9') ++ "éüñçøßαжя中日本語데이터").toIndexedSeq
   private val genName = Gen.chooseNum(5, 24).flatMap(n =>
-    Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    Gen.listOfN(n, Gen.oneOf(editAlphabet)).map(_.mkString))
   private val genEdits = Gen.chooseNum(0, 2)
 
   property("strings within edit distance 2 always share a deletion variant") =
     forAllNoShrink(genName, genEdits, Gen.long) { (s, nEdits, seed) =>
       val rnd = new scala.util.Random(seed)
+      def randChar(): Char = editAlphabet(rnd.nextInt(editAlphabet.length))
       var t = s
       (1 to nEdits).foreach { _ =>
         val op = rnd.nextInt(3)
         val pos = rnd.nextInt(math.max(t.length, 1))
         t = op match {
           case 0 if t.nonEmpty => t.patch(pos, Nil, 1) // delete
-          case 1 => t.patch(pos, rnd.nextPrintableChar().toString, 0) // insert
-          case _ if t.nonEmpty => t.patch(pos, rnd.nextPrintableChar().toString, 1) // substitute
+          case 1 => t.patch(pos, randChar().toString, 0) // insert
+          case _ if t.nonEmpty => t.patch(pos, randChar().toString, 1) // substitute
           case _ => t
         }
       }

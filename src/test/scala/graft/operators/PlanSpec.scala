@@ -148,8 +148,9 @@ class PlanSpec extends SparkSpec {
     // both sides customer-sized, and picks a broadcast hash join whose
     // build side materializes the full exploded signature table on the
     // driver (9.9 GiB at a 30× corpus — over the 8 GiB broadcast limit).
-    // The shuffle_hash hint in joinFuzzyMatch pins the shuffled plan; this
-    // test pins the hint.
+    // The merge (sort-merge) hint in joinFuzzyMatch pins the shuffled plan
+    // (shuffle_hash OOM'd at 100× — see the Joins.scala note); this test
+    // pins the hint.
     val plan = formatted(Joins.joinFuzzyMatch(spark, sf001))
     assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
       s"candidate join must shuffle on (nk, seg, sig):\n$plan")

@@ -1,62 +1,142 @@
-"""Regenerate SCALE.md's results table from a ScaleStress log.
+"""Regenerate SCALE.md's results table from one or more ScaleStress logs.
 
-Usage: python3 tools/scale_table.py /tmp/scale_rN.log
-Prints the markdown table (per-scale seconds + ratios for whatever scales
-the log contains) and summary/failure notes on stderr; paste the table
-between the `| query |` header and the blank line after `| **total** |`
-in SCALE.md. The ratio values come from the harness itself, so this
-script never recomputes them differently.
+Usage: python3 tools/scale_table.py /tmp/scale_a.log [/tmp/scale_b.log ...]
+
+With ONE log: per-scale seconds + the harness's own ratios, verbatim (this
+script never recomputes a single sweep's ratios differently).
+
+With SEVERAL logs (same-code sweeps): spill-heavy queries swing ±40%
+between identical sweeps, so a one-shot number is weak evidence. Seconds
+are reported as `min (med)` across sweeps per scale, and each ratio cell
+carries the band of the PER-SWEEP harness ratios as `med [min-max]` — a
+ratio only counts as reproduced when the whole band sits where the claim
+needs it. Paste the table between the `| query |` header and the blank
+line after `| **total** |` in SCALE.md.
 
 A failed query is recorded by ScaleStress as -1.0 seconds and EXCLUDED
 from that scale's total_sec — so totals across scales would silently
 compare different query sets. This script refuses to print a total row
-in that case and lists the failures instead.
+in that case and lists the failures instead. Incomplete logs (no x1 run,
+or a scale missing a query present at x1 — e.g. an interrupted sweep)
+produce a clear note, not a stack trace.
 """
 import json
+import statistics
 import sys
 
-log = open(sys.argv[1]).read().splitlines()
-runs = {}     # scale -> {query: sec}
-ratios = {}   # scale -> {query: ratio}
-totals = {}
-scale_order = []
-for line in log:
-    line = line.strip()
-    if not line.startswith('{"scale"'):
-        continue
-    d = json.loads(line)
-    if "queries" in d:
-        runs[d["scale"]] = d["queries"]
-        totals[d["scale"]] = d["total_sec"]
-        scale_order.append(d["scale"])
-    elif "time_ratios_vs_x1" in d:
-        ratios[d["scale"]] = d["time_ratios_vs_x1"]
 
-order = list(runs["x1"].keys())
+def parse(path):
+    """One log -> (runs: scale->{q:sec}, ratios: scale->{q:ratio},
+    totals: scale->sec, scale_order)."""
+    runs, ratios, totals, scale_order = {}, {}, {}, []
+    for line in open(path).read().splitlines():
+        line = line.strip()
+        if not line.startswith('{"scale"'):
+            continue
+        d = json.loads(line)
+        if "queries" in d:
+            runs[d["scale"]] = d["queries"]
+            totals[d["scale"]] = d["total_sec"]
+            scale_order.append(d["scale"])
+        elif "time_ratios_vs_x1" in d:
+            ratios[d["scale"]] = d["time_ratios_vs_x1"]
+    return runs, ratios, totals, scale_order
+
+
+def fail(msg):
+    print(f"incomplete log: {msg}", file=sys.stderr)
+    sys.exit(1)
+
+
+paths = sys.argv[1:]
+if not paths:
+    fail("no log files given")
+sweeps = [parse(p) for p in paths]
+
+# validate every sweep is complete and consistent before aggregating
+for p, (runs, ratios, totals, scale_order) in zip(paths, sweeps):
+    if "x1" not in runs:
+        fail(f"{p} has no x1 run — sweep did not reach the base scale")
+    base_qs = list(runs["x1"].keys())
+    for s in scale_order:
+        missing = [q for q in base_qs if q not in runs[s]]
+        if missing:
+            fail(f"{p} scale {s} is missing queries present at x1 "
+                 f"(interrupted sweep?): {missing}")
+    for s in scale_order:
+        if s != "x1" and s not in ratios:
+            fail(f"{p} has a {s} run but no time_ratios_vs_x1 line for it "
+                 f"(sweep interrupted before the summary)")
+
+runs0, _, _, scale_order = sweeps[0]
+order = list(runs0["x1"].keys())
+for p, (runs, _, _, so) in zip(paths, sweeps):
+    if so != scale_order or list(runs["x1"].keys()) != order:
+        fail(f"{p} covers different scales/queries than {paths[0]} — "
+             f"aggregate only same-shape sweeps")
+
 mults = [s for s in scale_order if s != "x1"]
-failed = sorted({q for s in scale_order for q in order if runs[s][q] < 0})
+multi = len(sweeps) > 1
+failed = sorted({q for runs, _, _, _ in sweeps
+                 for s in scale_order for q in order if runs[s][q] < 0})
 
-hdr = " | ".join(f"{s} (s)" for s in scale_order)
-rat_hdr = " | ".join("×" + s[1:] for s in mults)
+
+def sec_cell(s, q):
+    vals = [runs[s][q] for runs, _, _, _ in sweeps]
+    if any(v < 0 for v in vals):
+        return "FAIL"
+    if not multi:
+        return f"{vals[0]:.3f}"
+    return f"{min(vals):.3f} ({statistics.median(vals):.3f})"
+
+
+def ratio_cell(s, q):
+    vals = [ratios[s][q] for _, ratios, _, _ in sweeps]
+    if any(v < 0 for v in vals):
+        return "FAIL"
+    if not multi:
+        return f"{vals[0]}"
+    return (f"{statistics.median(vals):.1f} "
+            f"[{min(vals):.1f}–{max(vals):.1f}]")
+
+
+hdr = " | ".join(f"{s} (s)" + (" min (med)" if multi else "")
+                 for s in scale_order)
+rat_hdr = " | ".join("×" + s[1:] + (" med [band]" if multi else "")
+                     for s in mults)
 print(f"| query | {hdr} | {rat_hdr} |")
 print("|---" * (1 + len(scale_order) + len(mults)) + "|")
 for q in order:
-    secs = " | ".join(f"{runs[s][q]:.3f}" if runs[s][q] >= 0 else "FAIL"
-                      for s in scale_order)
-    rats = " | ".join(f"{ratios[s][q]}" if ratios[s][q] >= 0 else "FAIL"
-                      for s in mults)
+    secs = " | ".join(sec_cell(s, q) for s in scale_order)
+    rats = " | ".join(ratio_cell(s, q) for s in mults)
     print(f"| {q} | {secs} | {rats} |")
 if failed:
     print(f"NOT printing a total row: failed queries {failed} are excluded "
           f"from their scale's total_sec, so totals would compare different "
           f"query sets. Fix the failures and re-sweep.", file=sys.stderr)
 else:
-    t = totals
-    secs = " | ".join(f"**{t[s]:.1f}**" for s in scale_order)
-    rats = " | ".join(f"**{t[s] / t['x1']:.1f}**" for s in mults)
+    def tot_cell(s):
+        vals = [totals[s] for _, _, totals, _ in sweeps]
+        if not multi:
+            return f"**{vals[0]:.1f}**"
+        return f"**{min(vals):.1f} ({statistics.median(vals):.1f})**"
+
+    def tot_ratio(s):
+        vals = [totals[s] / totals["x1"] for _, _, totals, _ in sweeps]
+        if not multi:
+            return f"**{vals[0]:.1f}**"
+        return (f"**{statistics.median(vals):.1f} "
+                f"[{min(vals):.1f}–{max(vals):.1f}]**")
+
+    secs = " | ".join(tot_cell(s) for s in scale_order)
+    rats = " | ".join(tot_ratio(s) for s in mults)
     print(f"| **total** | {secs} | {rats} |")
 
 if mults:
-    top = sorted(((q, ratios[mults[-1]][q]) for q in order),
-                 key=lambda kv: -kv[1])
-    print(f"top {mults[-1]} ratios:", top[:5], file=sys.stderr)
+    last = mults[-1]
+    def med_ratio(q):
+        vals = [ratios[last][q] for _, ratios, _, _ in sweeps]
+        return statistics.median(vals) if all(v >= 0 for v in vals) else -1.0
+    top = sorted(((q, med_ratio(q)) for q in order), key=lambda kv: -kv[1])
+    label = f"median of {len(sweeps)} sweeps" if multi else "single sweep"
+    print(f"top {last} ratios ({label}):", top[:5], file=sys.stderr)
