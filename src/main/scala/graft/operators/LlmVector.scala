@@ -241,51 +241,52 @@ object LlmVector {
         round(col(s"s$i") / col("n"), 4).cast("float")): _*).as("centroid"))
       // norm once per centroid BEFORE the broadcast, not once per (vector, cell) pair
       .withColumn("centroid_nrm", norm("centroid"))
+    // The whole index as ONE row of three parallel cell-ascending arrays
+    // (ids, row-major flattened centroids, norms): k·(8+4·Dim+8) bytes —
+    // ~700 KB at the 2560-cell cap, a dimension table. Flat primitive
+    // arrays (not array<struct>) so the scorer's hot loop reads them with
+    // zero per-cell allocations; array_sort on the struct list orders by
+    // its first field (cell), making the layout deterministic.
+    val matrix = centroids
+      .agg(array_sort(collect_list(struct(col("cell"), col("centroid"), col("centroid_nrm")))).as("cs"))
+      .select(
+        transform(col("cs"), c => c.getField("cell")).as("cells"),
+        flatten(transform(col("cs"), c => c.getField("centroid"))).as("cflat"),
+        transform(col("cs"), c => c.getField("centroid_nrm")).as("cnrms"))
     // Cached NARROW ranked top cells (vec_id, cell, dist2cell, cell_rank):
     // the relation is consumed twice per query (rank-1 index side + top-
     // (3+2b) probe side) and by TWO declared queries (llm_ann_ivf,
     // llm_knn_label) in the same session; without the cache each consumer
-    // re-plans and re-codegens the whole centroid pipeline (~5 s one-time
-    // vs ~1.8 s warm at sf0.1).
-    // Round 6 dropped the embedding/nrm columns from the N×k fan-out: at
-    // 30× data the wide version cached ~64-float arrays per (vector, cell)
-    // pair — gigabytes of duplicated vectors and the measured GC wall —
-    // where the narrow one is 24 bytes/row; consumers re-attach embeddings
-    // by vec_id equi-join (linear). Round 7 moved the per-vector cell
-    // ranking INSIDE the cache and keeps only rank ≤ 3+2·MaxBits: no
-    // consumer ever reads past the max probe budget, so caching the full
-    // N×k fan-out (~61 GB at 100× — the measured disk-bandwidth wall of
-    // this query) buys nothing over the ~19 rows/vector that survive the
-    // cap (~134× smaller, memory-resident at every measured scale). The
-    // literal cap also lets Catalyst plan the rank filter as a
-    // WindowGroupLimit, draining each partition's sort to ≤19 rows/vector
-    // before anything is cached. The ranking runs once at build time on
-    // the vec_id-partitioned fan-out (exchange-free local sort) instead of
-    // once per consumer. Lazy (PlanSpec can still build plans without
-    // triggering jobs).
-    // Pin the scoring fan-out's parallelism to the session's shuffle width,
-    // not the source file layout: the embeddings scan packs into a handful
-    // of input splits (the 100-file synthesized table at 100× reads as ~4),
-    // and the broadcast fan-out + cache PRESERVE that partitioning into
-    // every per-vector consumer — at 100× the argmax/probe-window sorts ran
-    // as ~640M-row single-task sorts and one sweep measured an executor
-    // OOM (UnsafeExternalSorter pointer-array growth under GC-locker
-    // pressure). Hashing by vec_id makes the N×k dot-product stage
-    // CPU-parallel and bounds per-task sort memory; both consumers group/
-    // window on vec_id, so they reuse this partitioning with no further
-    // exchange of the N×k relation.
+    // re-plans and re-codegens the whole centroid pipeline.
+    // Round 6 narrowed the cached rows, round 7 capped them at rank ≤
+    // 3+2·MaxBits; round 8 removes the N×k relation ALTOGETHER. The old
+    // formulation exploded every (vector, centroid) pair (broadcast
+    // fan-out → ~N·k 24-byte rows → per-vector ranking sort): at the 100×
+    // sweep point that stage was ~61 GB of spill traffic and 52–98 s of
+    // wall across same-code sweeps — all to keep ≤19 rows/vector. Now the
+    // scorer (`graft_ivf_topcells`, a native expression) ranks all k cells
+    // against each vector IN the row pipeline with a bounded insertion
+    // pass and emits only the top-(3+2·MaxBits) structs; the only joins
+    // are broadcast fan-outs of one single-row dimension table. Same dot
+    // fold order, same (dist DESC, cell ASC) comparator semantics — the
+    // cached relation is byte-identical to the fan-out formulation's, so
+    // neither the oracle nor the recall spec can tell the difference.
+    // Lazy (PlanSpec can still build plans without triggering jobs).
+    // The repartition pins the SCORING parallelism (k·Dim flops per row)
+    // to the session's shuffle width, not the scan's file-split layout
+    // (the 100-file synthesized table at 100× packs into ~4 input splits),
+    // and both consumers group/window on vec_id so the cache's
+    // partitioning is reused with no further exchange.
     val parts = spark.sessionState.conf.numShufflePartitions
-    val scored = Fanout.broadcastAll(
+    graft.functions.IvfTopCells.register(spark)
+    Fanout.broadcastAll(
         emb(spark, sfDir).select("vec_id", "embedding", "nrm")
           .repartition(parts, col("vec_id")),
-        centroids, col("vec_id"), col("cell"))
-      .withColumn("dist2cell", dot("embedding", "centroid") /
-        (col("nrm") * col("centroid_nrm")))
-      .select("vec_id", "cell", "dist2cell")
-    val wCell = Window.partitionBy("vec_id").orderBy(desc("dist2cell"), asc("cell"))
-    scored
-      .withColumn("cell_rank", row_number().over(wCell))
-      .filter(col("cell_rank") <= lit(3 + 2 * MaxBits))
+        matrix, col("vec_id"), size(col("cells")))
+      .withColumn("tc", explode(expr(
+        s"graft_ivf_topcells(embedding, nrm, cells, cflat, cnrms, ${3 + 2 * MaxBits})")))
+      .select(col("vec_id"), col("tc.cell").as("cell"),
+        col("tc.dist2cell").as("dist2cell"), col("tc.cell_rank").as("cell_rank"))
       .cache()
   }
 

@@ -95,17 +95,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("IVF cell ranking plans a WindowGroupLimit under the literal cap") {
-    // The serving cache keeps only the ranked probe shortlist (rank ≤
-    // 3+2·MaxBits, a LITERAL): Catalyst's InferWindowGroupLimit turns that
-    // filter into a per-partition group limit that drains the ranking sort
-    // to ≤19 rows/vector BEFORE anything is cached. If the cap ever becomes
-    // a non-foldable expression the optimization silently disappears and
-    // the cache re-inflates to the full N×k fan-out (~61 GB at the 100×
-    // sweep point) — this pin makes that a test failure instead.
+  test("IVF cell scoring runs in-row, never as a materialized N×k fan-out") {
+    // Round 8: the cell ranking is computed per row by the native
+    // graft_ivf_topcells expression against the broadcast centroid matrix
+    // — no (vector, centroid) pair relation, no per-vector ranking sort
+    // (that sort was ~61 GB of spill traffic at the 100× sweep point).
+    // If the scorer ever falls back to the exploded-pairs formulation, a
+    // Window ordered by dist2cell reappears — this pin makes that a test
+    // failure instead of a silent 3× scale regression.
     val plan = formatted(LlmVector.llmAnnIvf(spark, sf001))
-    assert(plan.contains("WindowGroupLimit"),
-      s"ranked-shortlist cache lost its WindowGroupLimit drain:\n$plan")
+    assert(plan.contains("graft_ivf_topcells"),
+      s"cell scoring must use the native in-row scorer:\n$plan")
+    assert(!plan.contains("dist2cell DESC"),
+      s"cell ranking must not re-sort a materialized N×k relation:\n$plan")
   }
 
   test("exact cosine pair join stays a shuffled hash join, not a broadcast") {
