@@ -177,24 +177,36 @@ object Joins {
     * same shape; here it's explicit so the mechanism is a declared,
     * oracle-checked operator).
     *
-    * Build: one pass over the (already filtered) orders side builds a
-    * driver-held sketch sized from its exact count at 1% fpp — KBs at test
-    * SF, and bounded by the BUILD side at any scale (broadcast-equivalent;
-    * this is NOT a fact-sized collect). Probe: `graft_bloom_might_contain`,
-    * a codegen'd native expression, drops non-matching fact rows at the
-    * scan. The exact semi-join after it removes bloom false positives, so
-    * the composition is EXACTLY the semi-join — which is what the DuckDB
-    * oracle checks (any false-negative bug would drop rows and fail the
-    * hash compare). Round6bOpsSpec additionally asserts prefilter
-    * selectivity, bloom/exact agreement, and the size cap.
+    * Build: ONE pass over the (already filtered) orders side builds a
+    * driver-held sketch at 1% fpp, sized from the optimizer's row ESTIMATE
+    * (plan statistics — zero jobs) rather than an exact `count()` pre-pass:
+    * the old two-job build scanned the build side twice, doubling its cost
+    * exactly where the build side is large enough for that to matter. The
+    * estimate is an over-approximation for filtered sides (absent CBO,
+    * Filter passes its child's size through), which only makes the sketch
+    * proportionally roomier — fpp never degrades past the configured 1%
+    * unless the estimate UNDERSHOOTS, and even then the exact semi-join
+    * downstream removes every false positive, so the composition stays
+    * EXACTLY the semi-join — which is what the DuckDB oracle checks (any
+    * false-negative bug would drop rows and fail the hash compare).
+    * Round6bOpsSpec additionally asserts prefilter selectivity, bloom/exact
+    * agreement, the size cap, and the single-job build.
     *
     * The sketch is a plan literal, so its size is capped (`BloomMaxBytes`,
     * 8 MB — the same ceiling Spark's injected runtime filters use): a build
-    * side large enough to blow past it (≳6M distinct keys at 1% fpp) gets
-    * NO prefilter instead of a bloated plan/codegen source. The fallthrough
-    * is result-identical by construction — the exact semi-join downstream
-    * is the answer either way; the bloom only sheds fact rows early. */
+    * side estimated past `BloomMaxItems` (~7M keys at 1% fpp) gets NO
+    * prefilter instead of a bloated plan/codegen source — decided BEFORE
+    * allocating the sketch or running any job, so a fact-sized build can
+    * neither OOM the driver on bit allocation nor waste a scan. The
+    * fallthrough is result-identical by construction — the exact semi-join
+    * downstream is the answer either way; the bloom only sheds fact rows
+    * early. */
   final val BloomMaxBytes: Int = 8 << 20
+
+  /** Largest item count whose 1%-fpp sketch serializes under
+    * `BloomMaxBytes`: numBits ≈ n·ln(0.01)/ln(2)² ≈ 9.59·n. Checked against
+    * the ESTIMATE before the sketch is allocated. */
+  final val BloomMaxItems: Long = (BloomMaxBytes.toLong * 8 / 9.6).toLong
 
   /** The cap decision, separated so the oversize path is unit-testable
     * without materializing a multi-million-row build side. */
@@ -204,17 +216,44 @@ object Joins {
       Some(call_function("graft_bloom_might_contain", lit(bytes), probe))
     else None
 
+  /** Zero-job row estimate for the build side, from the optimized plan's
+    * statistics: the CBO row count when present, else sizeInBytes over the
+    * output row width — the same signal Spark's InjectRuntimeFilter sizes
+    * its bloom aggregates from. Clamped to [1, Long.Max]. */
+  private[operators] def estimatedRows(df: DataFrame): Long = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    val est = stats.rowCount.getOrElse {
+      val width = math.max(df.schema.defaultSize.toLong, 1L)
+      stats.sizeInBytes / width
+    }
+    est.min(BigInt(Long.MaxValue)).max(BigInt(1)).toLong
+  }
+
   /** The capped prefilter predicate: Some(probe) when the build side's
-    * sketch fits `BloomMaxBytes`, None (no prefilter) when it doesn't. */
+    * ESTIMATED sketch fits `BloomMaxBytes`, None (no prefilter, no job)
+    * when it doesn't. `keyCol` must be integral — keys are inserted with
+    * `putLong`, matching `graft_bloom_might_contain`'s `mightContainLong`
+    * probe. The sketch is built with ONE `treeAggregate` pass (one job,
+    * one scan of the build side — `stat.bloomFilter`'s SQL aggregate runs
+    * a second AQE stage-materialization job, and the pre-round-8 shape ran
+    * a whole extra `count()` scan on top). */
   private[operators] def bloomPrefilter(df: DataFrame, keyCol: String,
       probe: org.apache.spark.sql.Column): Option[org.apache.spark.sql.Column] = {
-    val bf = df.stat.bloomFilter(keyCol, math.max(df.count(), 1L), 0.01)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
+    val items = estimatedRows(df)
+    if (items > BloomMaxItems) None
+    else {
+      val zero = org.apache.spark.util.sketch.BloomFilter.create(items, 0.01)
+      val bf = df.select(col(keyCol).cast("long")).filter(col(keyCol).isNotNull)
+        .rdd.treeAggregate(zero)(
+          (f, row) => { f.putLong(row.getLong(0)); f },
+          (a, b) => { a.mergeInPlace(b); a })
+      val bytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        bos.toByteArray
+      }
+      cappedProbe(bytes, probe)
     }
-    cappedProbe(bytes, probe)
   }
 
   def joinBloomPrefilter(spark: SparkSession, sfDir: String): DataFrame = {

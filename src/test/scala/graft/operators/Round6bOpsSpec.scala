@@ -51,6 +51,53 @@ class Round6bOpsSpec extends SparkSpec {
     assert(bos.toByteArray.length > Joins.BloomMaxBytes)
   }
 
+  test("bloom prefilter build is a single job, and an oversized ESTIMATE runs none") {
+    graft.functions.BloomExprs.register(spark)
+    val urgent = Tables.orders(spark, sf001)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    // the estimate is an over-approximation (filter selectivity unknown to
+    // the optimizer) but must stay a sane bound, not a fact-sized blowup
+    val est = Joins.estimatedRows(urgent)
+    val exact = urgent.count()
+    assert(est >= 1, "estimate must be positive")
+    assert(est <= Joins.BloomMaxItems, s"sf0.001 build side must sit far under the cap, est=$est")
+    // single pass: the build runs ONE Spark job (the old count()+bloomFilter
+    // shape ran two scans of the build side — this pin keeps it dead)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(Joins.bloomPrefilter(urgent, "o_orderkey", col("l_orderkey")).isDefined)
+      // listener events post asynchronously: wait until the count is stable
+      var last = -1
+      var spins = 0
+      while (jobs.get() != last && spins < 20) { last = jobs.get(); Thread.sleep(250); spins += 1 }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 1, s"bloom build must be a single pass over the build side, ran ${jobs.get()} jobs")
+    // a build side ESTIMATED past BloomMaxItems falls through BEFORE any
+    // job or sketch allocation — a fact-sized build can neither double-scan
+    // nor OOM the driver on bit allocation
+    val huge = spark.range(Joins.BloomMaxItems + 1).select(col("id").as("o_orderkey"))
+    assert(Joins.estimatedRows(huge) > Joins.BloomMaxItems)
+    val jobs2 = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener2 = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs2.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener2)
+    try {
+      assert(Joins.bloomPrefilter(huge, "o_orderkey", col("l_orderkey")).isEmpty,
+        "over-estimated build side must fall through to the plain semi-join")
+      Thread.sleep(500)
+    } finally spark.sparkContext.removeSparkListener(listener2)
+    assert(jobs2.get() == 0, s"fallthrough must not run any job, ran ${jobs2.get()}")
+  }
+
   test("bloom probe rejects a NULL sketch with a clear error, not an NPE") {
     graft.functions.BloomExprs.register(spark)
     val err = intercept[Exception] {
