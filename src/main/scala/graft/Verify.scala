@@ -18,6 +18,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Subset runs refresh ONLY the selected queries' dumps, but the
+    // preverify gate replays every declared query — against whatever is
+    // in outDir, including stale dumps from older code. Mark partial
+    // dumps loudly so they can't be mistaken for a full verification run
+    // (and clear the marker when a full run overwrites everything).
+    val marker = Paths.get(s"$outDir/PARTIAL_SUBSET_DUMP")
+    if (subset.nonEmpty) {
+      System.err.println(
+        s"[verify] PARTIAL run: only ${subset.toSeq.sorted.mkString(", ")} " +
+        s"refreshed; other dumps in $outDir may be stale — do not treat a " +
+        "gate pass over this dir as a full verification")
+      Files.writeString(marker, subset.toSeq.sorted.mkString("\n"))
+    } else Files.deleteIfExists(marker)
     SparkEntry.queries
       .filter { case (name, _) => subset.isEmpty || subset(name) }
       .foreach { case (name, fn) =>

@@ -127,18 +127,23 @@ object Aggregations {
         col("sum_qty"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** GROUPING SETS via spark.sql — the one SQL-parser entry (DataFrame API
-    * has no grouping-sets method). */
+  /** GROUPING SETS ((c_mktsegment), (n_name), ()) via Spark 4's native
+    * `Dataset.groupingSets` — this used to be the engine's one SQL-parser
+    * entry (pre-4.0 the DataFrame API had no grouping-sets method); now no
+    * query path parses a SQL string or registers a temp view. */
   def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.customer(spark, sfDir).createOrReplaceTempView("gs_customer")
-    Tables.nation(spark, sfDir).createOrReplaceTempView("gs_nation")
-    spark.sql(
-      """SELECT coalesce(c_mktsegment, '__all__') AS segment,
-        |  coalesce(n_name, '__all__') AS nation,
-        |  round(sum(c_acctbal), 2) AS acctbal_sum, count(*) AS cnt
-        |FROM gs_customer JOIN gs_nation ON c_nationkey = n_nationkey
-        |GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
-        |ORDER BY segment, nation""".stripMargin)
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupingSets(
+        Seq(Seq(col("c_mktsegment")), Seq(col("n_name")), Seq.empty),
+        col("c_mktsegment"), col("n_name"))
+      .agg(round(sum("c_acctbal"), 2).as("acctbal_sum"),
+        count(lit(1)).as("cnt"))
+      .select(coalesce(col("c_mktsegment"), lit("__all__")).as("segment"),
+        coalesce(col("n_name"), lit("__all__")).as("nation"),
+        col("acctbal_sum"), col("cnt"))
+      .orderBy("segment", "nation")
   }
 
   def aggHaving(spark: SparkSession, sfDir: String): DataFrame =

@@ -216,15 +216,28 @@ object Joins {
       Some(call_function("graft_bloom_might_contain", lit(bytes), probe))
     else None
 
+  /** sizeInBytes for a parquet scan is COMPRESSED file bytes while
+    * `schema.defaultSize` is the in-memory row width, so the quotient can
+    * undershoot the true row count by the compression ratio — and an
+    * undersized sketch silently degrades fpp far past the configured 1%
+    * (perf-only: the exact semi-join downstream keeps the result right,
+    * but the prefilter stops shedding rows). Columnar TPC-H-ish data
+    * compresses ~3-4×; 4 is the headroom that covers it. Applied ONLY to
+    * the bytes-derived fallback — a CBO rowCount is already rows. */
+  private[operators] final val BytesEstimateHeadroom = 4L
+
   /** Zero-job row estimate for the build side, from the optimized plan's
     * statistics: the CBO row count when present, else sizeInBytes over the
-    * output row width — the same signal Spark's InjectRuntimeFilter sizes
-    * its bloom aggregates from. Clamped to [1, Long.Max]. */
+    * output row width × `BytesEstimateHeadroom` — the same signal Spark's
+    * InjectRuntimeFilter sizes its bloom aggregates from, corrected for
+    * parquet compression. Over-estimating wastes a few sketch bits or
+    * falls through to the exact join; under-estimating quietly breaks the
+    * fpp contract, so the rounding errs high. Clamped to [1, Long.Max]. */
   private[operators] def estimatedRows(df: DataFrame): Long = {
     val stats = df.queryExecution.optimizedPlan.stats
     val est = stats.rowCount.getOrElse {
       val width = math.max(df.schema.defaultSize.toLong, 1L)
-      stats.sizeInBytes / width
+      stats.sizeInBytes * BytesEstimateHeadroom / width
     }
     est.min(BigInt(Long.MaxValue)).max(BigInt(1)).toLong
   }

@@ -30,9 +30,19 @@ object LlmVector {
 
   private def norm(c: String): Column = expr(s"sqrt(graft_dot($c, $c))")
 
+  /** The embeddings table with its L2 norm attached — the single entry
+    * point for every vector query. CONTRACT: rows with a NULL embedding
+    * are excluded HERE, explicitly. Downstream formulations differ in how
+    * they'd treat a null vector (the `graft_ivf_topcells` explode drops
+    * it; the old window ranking kept it with null distances), so leaving
+    * nulls to flow would make the result shape an accident of the chosen
+    * plan. The synthesized tables contain no null embeddings, so the
+    * filter changes nothing today — it pins the declared behavior if the
+    * corpus ever does. */
   private def emb(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.VectorExprs.register(spark)
     Tables.embeddings(spark, sfDir)
+      .filter(col("embedding").isNotNull)
       .withColumn("nrm", norm("embedding"))
   }
 

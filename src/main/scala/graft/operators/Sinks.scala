@@ -246,10 +246,23 @@ object Sinks {
   /** Range-partitioned file count for the manifest-pruned snapshot. */
   private[operators] val ManifestFiles = 8
 
+  /** Ceiling on the pruned file list held on the driver. The list is
+    * O(#files-after-pruning) planning metadata — the listing every table
+    * format's driver materializes — but nothing else bounds it: a 100-TB
+    * table has ~10⁶ files and an UNSELECTIVE predicate would turn "planning
+    * metadata" into a driver-memory balloon of path strings. Past the cap
+    * the read falls back LOUDLY to scanning the whole snapshot with the
+    * predicate pushed to the scan — result-identical (the filter, not the
+    * file list, defines the answer), just without the skipping. */
+  private[operators] val ManifestMaxPlanFiles = 100000
+
   /** (files read, pruned DataFrame) — separated so the spec can assert the
     * physical footprint (strictly fewer files than written) independently
-    * of the oracle-checked result. */
-  private[operators] def prunedScan(spark: SparkSession, sfDir: String): (Int, DataFrame) = {
+    * of the oracle-checked result. `maxPlanFiles` is the driver-list cap
+    * (parameterized so the fallback path is testable without writing 10⁵
+    * files). */
+  private[operators] def prunedScan(spark: SparkSession, sfDir: String,
+      maxPlanFiles: Int = ManifestMaxPlanFiles): (Int, DataFrame) = {
     val out = s"${Scans.tmpRoot(spark)}/manifest_orders"
     Tables.orders(spark, sfDir)
       .repartitionByRange(ManifestFiles, col("o_orderkey"))
@@ -271,13 +284,24 @@ object Sinks {
           .cast("long")).as("khi")).head()
     val (klo, khi) = (bounds.getLong(0), bounds.getLong(1))
     // plan against the MANIFEST: collecting it is O(#files) planning
-    // metadata — the listing every table format's driver does — never data
-    val files = manifest
+    // metadata — the listing every table format's driver does — never data.
+    // limit(cap+1) bounds the collect itself: overflow is detected from the
+    // (cap+1)th row without ever materializing an unbounded list.
+    val capped = manifest
       .filter(col("flo") <= khi && col("fhi") >= klo)
-      .select("f").collect().map(_.getString(0)).sorted
-    (files.length,
-      spark.read.parquet(files.toIndexedSeq: _*)
-        .filter(col("o_orderkey").between(klo, khi)))
+      .select("f").limit(maxPlanFiles + 1).collect().map(_.getString(0))
+    if (capped.length > maxPlanFiles) {
+      System.err.println(s"[sink_manifest_prune] predicate selects more than " +
+        s"$maxPlanFiles files — skipping file pruning, reading the full " +
+        "snapshot with the predicate pushed to the scan (result-identical)")
+      (ManifestFiles,
+        spark.read.parquet(out).filter(col("o_orderkey").between(klo, khi)))
+    } else {
+      val files = capped.sorted
+      (files.length,
+        spark.read.parquet(files.toIndexedSeq: _*)
+          .filter(col("o_orderkey").between(klo, khi)))
+    }
   }
 
   /** Manifest-based file skipping — the table-format data-skipping read

@@ -62,20 +62,31 @@ class Round6bOpsSpec extends SparkSpec {
     assert(est >= 1, "estimate must be positive")
     assert(est <= Joins.BloomMaxItems, s"sf0.001 build side must sit far under the cap, est=$est")
     // single pass: the build runs ONE Spark job (the old count()+bloomFilter
-    // shape ran two scans of the build side — this pin keeps it dead)
+    // shape ran two scans of the build side — this pin keeps it dead).
+    // Counted jobs are filtered to the job group set around the build, so
+    // unrelated async session work (broadcast cleanup, lazy metadata jobs)
+    // can't inflate the count and flake the pin.
+    val group = "round6b-bloom-build"
+    def groupOf(js: org.apache.spark.scheduler.SparkListenerJobStart): String =
+      Option(js.properties).map(_.getProperty("spark.jobGroup.id", "")).getOrElse("")
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
+        if (groupOf(js) == group) jobs.incrementAndGet(); ()
       }
+    }
+    // listener events post asynchronously: wait until the count is stable
+    def spinStable(counter: java.util.concurrent.atomic.AtomicInteger): Unit = {
+      var last = -1
+      var spins = 0
+      while (counter.get() != last && spins < 20) { last = counter.get(); Thread.sleep(250); spins += 1 }
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      assert(Joins.bloomPrefilter(urgent, "o_orderkey", col("l_orderkey")).isDefined)
-      // listener events post asynchronously: wait until the count is stable
-      var last = -1
-      var spins = 0
-      while (jobs.get() != last && spins < 20) { last = jobs.get(); Thread.sleep(250); spins += 1 }
+      spark.sparkContext.setJobGroup(group, "bloom sketch build")
+      try assert(Joins.bloomPrefilter(urgent, "o_orderkey", col("l_orderkey")).isDefined)
+      finally spark.sparkContext.clearJobGroup()
+      spinStable(jobs)
     } finally spark.sparkContext.removeSparkListener(listener)
     assert(jobs.get() == 1, s"bloom build must be a single pass over the build side, ran ${jobs.get()} jobs")
     // a build side ESTIMATED past BloomMaxItems falls through BEFORE any
@@ -86,14 +97,16 @@ class Round6bOpsSpec extends SparkSpec {
     val jobs2 = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener2 = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs2.incrementAndGet(); ()
+        if (groupOf(js) == group) jobs2.incrementAndGet(); ()
       }
     }
     spark.sparkContext.addSparkListener(listener2)
     try {
-      assert(Joins.bloomPrefilter(huge, "o_orderkey", col("l_orderkey")).isEmpty,
+      spark.sparkContext.setJobGroup(group, "bloom sketch build (oversize fallthrough)")
+      try assert(Joins.bloomPrefilter(huge, "o_orderkey", col("l_orderkey")).isEmpty,
         "over-estimated build side must fall through to the plain semi-join")
-      Thread.sleep(500)
+      finally spark.sparkContext.clearJobGroup()
+      spinStable(jobs2)
     } finally spark.sparkContext.removeSparkListener(listener2)
     assert(jobs2.get() == 0, s"fallthrough must not run any job, ran ${jobs2.get()}")
   }

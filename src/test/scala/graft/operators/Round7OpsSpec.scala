@@ -49,6 +49,23 @@ class Round7OpsSpec extends SparkSpec {
       "pruned scan must equal the full-scan filter")
   }
 
+  test("manifest prune past the driver-list cap falls back to a read-all scan, result-identical") {
+    // a cap below the pruned file count forces the overflow path: the
+    // driver list is never materialized past cap+1 rows, the scan reads
+    // the WHOLE snapshot (all ManifestFiles), and the filter still yields
+    // exactly the pruned-path rows. Each prunedScan call REWRITES the
+    // snapshot dir, so the first result is materialized before the second
+    // call invalidates its file listing.
+    val (nPruned, pruned) = Sinks.prunedScan(spark, sf001)
+    assert(nPruned >= 2, "need a multi-file pruned set to exercise the cap")
+    val prunedRows = pruned.orderBy("o_orderkey").collect()
+    val (nFallback, fallback) = Sinks.prunedScan(spark, sf001, maxPlanFiles = 1)
+    assert(nFallback === Sinks.ManifestFiles,
+      s"past the cap the scan must read the full snapshot, read $nFallback")
+    assert(fallback.orderBy("o_orderkey").collect() === prunedRows,
+      "capped fallback must be result-identical to the pruned scan")
+  }
+
   test("vacuum keeps the recent versions readable and fails old ones clearly") {
     import spark.implicits._
     val root = s"${Scans.tmpRoot(spark)}/vacuum_demo"

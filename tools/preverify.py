@@ -63,6 +63,13 @@ def main():
     BITEXACT = "--bitexact" in sys.argv
     sf_dir, out_dir = Path(args[0]), Path(args[1])
     only = set(args[2:])
+    marker = out_dir / "PARTIAL_SUBSET_DUMP"
+    if marker.exists():
+        refreshed = marker.read_text().split()
+        print(f"WARNING: {out_dir} is a PARTIAL dump — graft.Verify last "
+              f"refreshed only {refreshed}; results for other queries replay "
+              "STALE parquet from an older run. Re-run Verify with no subset "
+              "for a full gate.")
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
     # Oracle SQLs are self-contained against the t2 dir (sf0.01); rewrite the
     # embedded read_parquet paths when replaying at another scale factor.
