@@ -30,20 +30,38 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame  = t(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "embeddings")
 
-  /** events.parquet stores `ts` as parquet INT64 TIMESTAMP(NANOS,false), which
-    * Spark's vectorized reader rejects at execution time unless
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (SURVEY.md §1.3 ⚠L1). With the
-    * conf on, `ts` arrives as Long nanoseconds since epoch. We expose:
-    *   - `epoch_us`: Long microseconds (integer `DIV 1000`, truncating — exactly
-    *     what DuckDB's nanos→micros TIMESTAMP coercion does, so oracle
-    *     comparisons on this column are bit-exact), and
-    *   - `ts_ntz`: timestamp_ntz at micro precision (session tz is pinned UTC by
-    *     the driver, so the TimestampType→NTZ cast is value-preserving).
+  /** events.parquet has shipped with two `ts` layouts across testdata
+    * generations, so this accessor detects the on-disk type and normalizes both
+    * to the same two derived columns every event-time query reads:
+    *   - `epoch_us`: Long microseconds since epoch — bit-exact with DuckDB's
+    *     `epoch_us(ts)` on the same file (nanos truncate via integer DIV, micros
+    *     pass through), so oracle comparisons on this column are exact;
+    *   - `ts_ntz`: timestamp_ntz at micro precision.
+    *
+    * Layouts:
+    *   - INT64 TIMESTAMP(NANOS,false): Spark's vectorized reader rejects it
+    *     unless `spark.sql.legacy.parquet.nanosAsLong=true` (SURVEY.md §1.3
+    *     ⚠L1); with the conf on, `ts` arrives as Long nanoseconds.
+    *   - TIMESTAMP(MICROS,false) (current testdata): reads natively as
+    *     `timestamp_ntz`; `epoch_us` is derived with `timestampdiff` against the
+    *     NTZ epoch literal — both operands tz-free, so no session-tz dependence.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, sfDir, "events")
-      .withColumn("epoch_us", expr("ts DIV 1000"))
-      .withColumn("ts_ntz", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+    val raw = t(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw
+          .withColumn("epoch_us", expr("ts DIV 1000"))
+          .withColumn("ts_ntz", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw
+          .withColumn("epoch_us",
+            expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
+          .withColumn("ts_ntz", col("ts"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported parquet type $other — expected INT64 nanos (Long) or TIMESTAMP_NTZ micros")
+    }
   }
 }

@@ -81,8 +81,10 @@ object ScaleStress {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // events.ts is INT64 nanos (SURVEY §1.3 ⚠L1); with the conf on it reads
-    // as plain Long, and the synthesized copy round-trips as Long too
+    // Legacy events.ts layouts are INT64 nanos (SURVEY §1.3 ⚠L1); with the
+    // conf on those read as plain Long and round-trip as Long. Current
+    // testdata is TIMESTAMP_NTZ micros, which round-trips natively — the
+    // conf is a harmless no-op there. Either way ts passes through untouched.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     mults.foreach(m => synthesize(spark, baseDir, s"$outRoot/x$m", m))
