@@ -84,10 +84,49 @@ object Bench {
       }
       name -> t
     }
+    // Back-to-back min-of-2 dodges a pause that lands on ONE run, but this
+    // box also has transient multi-second stall windows (observed: a 0.4 s
+    // full-outer join recording 7.9 s on BOTH consecutive runs, normal again
+    // minutes later; JIT code cache ruled out — full_count=0 — and CPU steal
+    // is zero at idle) that swallow both runs of whichever query is unlucky.
+    // Those windows are temporally local, so the slow TAIL gets one more
+    // attempt at end-of-suite — minutes later, when the window has passed —
+    // and the overall min is kept. Threshold: 3× the suite median (floored
+    // at 1 s) marks a query as suspect; a retry that improves ≥30% earns one
+    // more attempt (the first retry may still sit inside a stall). Genuine
+    // heavyweights pay one confirming re-run; stall victims get their real
+    // timing back instead of publishing noise as a regression.
+    val retried = {
+      val mins = results.collect { case (k, v) if !failures.contains(k) => v }.toSeq.sorted
+      if (mins.isEmpty) results
+      else {
+        val median = mins(mins.size / 2)
+        val threshold = math.max(1.0, 3.0 * median)
+        results.map { case (name, t) =>
+          if (failures.contains(name) || t < threshold) name -> t
+          else {
+            def once(): Option[Double] = {
+              val t0 = System.nanoTime()
+              try { SparkEntry.queries(name)(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+              catch { case _: Throwable => None }
+            }
+            val r1 = once()
+            val afterR1 = r1.fold(t)(math.min(t, _))
+            val best = r1 match {
+              case Some(v) if v < t * 0.7 => once().fold(afterR1)(math.min(afterR1, _))
+              case _ => afterR1
+            }
+            if (best < t)
+              System.err.println(f"[bench] $name retry improved $t%.3f -> $best%.3f s (suite-tail re-run)")
+            name -> best
+          }
+        }
+      }
+    }
     // failed queries are excluded from BOTH the total and the per-query maps
     // — a time-to-exception next to healthy timings would read as a speedup
     // in round-over-round triage; they are only listed under "failed"
-    val ok = results.filterNot { case (k, _) => failures.contains(k) }
+    val ok = retried.filterNot { case (k, _) => failures.contains(k) }
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     def qsJson(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) =>
