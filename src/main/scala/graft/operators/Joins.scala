@@ -208,6 +208,22 @@ object Joins {
     * the ESTIMATE before the sketch is allocated. */
   final val BloomMaxItems: Long = (BloomMaxBytes.toLong * 8 / 9.6).toLong
 
+  /** Budget for the sketch LITERAL that actually ships in the plan. The
+    * row estimate errs high by design (×4 compression headroom, and Filter
+    * passes its child's sizeInBytes through un-reduced, so a selective
+    * build-side predicate is invisible to it) — at a 10× corpus the
+    * estimate overshot the true build count ~13×, and the resulting ~5 MB
+    * sketch literal inflated every task binary that referenced it to
+    * ~15 MB, re-broadcast per stage. Bits are therefore clamped to 2 MB:
+    * at 1% fpp that fully covers ~1.7M estimated build keys, and a larger
+    * estimate degrades fpp gracefully (the sketch still sheds the bulk of
+    * probe rows; the exact semi-join downstream keeps the result identical
+    * regardless — fpp is a performance dial here, never correctness).
+    * Estimates past `BloomMaxItems` still skip the sketch entirely. This is
+    * the clamp alternative the round-8 advice proposed alongside the
+    * headroom. */
+  final val BloomLitMaxBytes: Int = 2 << 20
+
   /** The cap decision, separated so the oversize path is unit-testable
     * without materializing a multi-million-row build side. */
   private[operators] def cappedProbe(bytes: Array[Byte],
@@ -255,7 +271,10 @@ object Joins {
     val items = estimatedRows(df)
     if (items > BloomMaxItems) None
     else {
-      val zero = org.apache.spark.util.sketch.BloomFilter.create(items, 0.01)
+      // optimal bit count for 1% fpp, clamped to the literal budget
+      val optimalBits = math.ceil(items * 9.59).toLong
+      val numBits = math.min(optimalBits, BloomLitMaxBytes.toLong * 8)
+      val zero = org.apache.spark.util.sketch.BloomFilter.create(items, numBits)
       val bf = df.select(col(keyCol).cast("long")).filter(col(keyCol).isNotNull)
         .rdd.treeAggregate(zero)(
           (f, row) => { f.putLong(row.getLong(0)); f },

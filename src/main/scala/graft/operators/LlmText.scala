@@ -67,7 +67,9 @@ object LlmText {
   private val permB: IndexedSeq[Long] =
     (0 until 32).map(i => (0xC2B2AE3DL * (i + 1)) & 0x3FFFFFFFL)
 
-  def llmDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-doc 32-slot MinHash signature: (doc_id, sig array<long>). Shared
+    * by the pair-listing query and the representative-based keep query. */
+  private def minhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.HashedShingles.register(spark)
     val d = docs(spark, sfDir)
     // graft_hashed_shingles emits per-doc DISTINCT shingle hashes in one
@@ -77,22 +79,78 @@ object LlmText {
       .withColumn("h", col("h64").bitwiseAND(lit(0xFFFFFFFFL)))
     val perms = (0 until 32).map(i =>
       min(col("h") * lit(permA(i)) + lit(permB(i))).as(s"mh$i"))
-    val sigs = sh.groupBy("doc_id").agg(perms.head, perms.tail: _*)
+    sh.groupBy("doc_id").agg(perms.head, perms.tail: _*)
       .withColumn("sig", array((0 until 32).map(i => col(s"mh$i")): _*))
       .select("doc_id", "sig")
-    val bands = sigs.select(col("doc_id"), col("sig"),
-        posexplode(array((0 until 8).map(b => xxhash64(concat_ws("_",
-          lit(b) +: (0 until 4).map(r => col(s"sig")(b * 4 + r).cast("string")): _*))): _*)))
+  }
+
+  /** The 8 banded LSH bucket hashes of a 32-slot signature (4 rows/band). */
+  private def bandHashes(sig: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array((0 until 8).map(b => xxhash64(concat_ws("_",
+      lit(b) +: (0 until 4).map(r => sig(b * 4 + r).cast("string")): _*))): _*)
+
+  /** Estimated Jaccard between two 32-slot signatures (equal-slot fraction). */
+  private def estJaccard(sigA: org.apache.spark.sql.Column, sigB: org.apache.spark.sql.Column) =
+    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / 32.0
+
+  def llmDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = minhashSigs(spark, sfDir)
+    val bands = sigs.select(col("doc_id"), col("sig"), posexplode(bandHashes(col("sig"))))
       .toDF("doc_id", "sig", "band_idx", "band_hash")
     val a = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("a"), col("sig").as("sig_a"))
     val b = bands.select(col("band_idx").as("bi2"), col("band_hash").as("bh2"), col("doc_id").as("b"), col("sig").as("sig_b"))
     a.join(b, col("band_idx") === col("bi2") && col("band_hash") === col("bh2") && col("a") < col("b"))
-      .select(col("a"), col("b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / 32.0).as("est_jaccard"))
+      .select(col("a"), col("b"), estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= 0.8)
       .orderBy("a", "b")
+  }
+
+  /** Representative-based MinHash DEDUP — the shape a 100-TB pipeline
+    * actually runs, and the designed scale path past `llm_dedup_minhash`'s
+    * pair listing. Round 9's sweep measured the pair listing going
+    * super-linear on family-structured data (100-copy near-dup families →
+    * ~N²/2 pairs PER FAMILY inside every shared band bucket: 588 s at the
+    * 100× point, ratio ~170) — that is the OUTPUT's intrinsic shape, since
+    * listing all intra-family pairs is quadratic in family size no matter
+    * how the candidates are generated. Deduplication does not need the
+    * pairs: per (band, bucket) it links every member to the bucket's MIN
+    * doc_id — a spanning STAR, O(bucket) edges instead of O(bucket²) —
+    * confirms each link at estimated Jaccard ≥ 0.8 against that
+    * representative, and runs min-label connected components over the
+    * confirmed links (same propagation loop as `llm_dedup_cluster`). Star
+    * edges reach exactly the same components as all-pairs edges for
+    * mutually-similar families (every member confirms against the same
+    * representative); a member similar to some bucket-mate but NOT to the
+    * bucket min can detach where the pair-graph would chain — the declared
+    * trade for linear work, stated here rather than discovered later.
+    * Output: one row per document, its surviving representative, and a
+    * dup flag — deterministic given the fixed permutation constants.
+    * Bands stay NARROW through the bucket join (signatures re-attach by
+    * doc_id only for the confirmed star edges — O(docs·8) rows, unlike the
+    * pair query where the signature IS the dominant product). */
+  def llmMinhashDedupKeep(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = minhashSigs(spark, sfDir).localCheckpoint()
+    val bands = sigs.select(col("doc_id"), posexplode(bandHashes(col("sig"))))
+      .toDF("doc_id", "band_idx", "band_hash")
+    val reps = bands.groupBy("band_idx", "band_hash")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("bsize"))
+      .filter(col("bsize") > 1)
+    val star = bands.join(reps, Seq("band_idx", "band_hash"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select("rep", "doc_id").distinct()
+    val confirmed = star
+      .join(sigs.select(col("doc_id").as("rep"), col("sig").as("sig_r")), Seq("rep"))
+      .join(sigs.select(col("doc_id"), col("sig").as("sig_d")), Seq("doc_id"))
+      .filter(estJaccard(col("sig_r"), col("sig_d")) >= 0.8)
+      .select(col("rep").as("a"), col("doc_id").as("b"))
+    val labels = connectedComponents(confirmed)
+    docs(spark, sfDir).select("doc_id")
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("keep_id"))
+      .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+      .orderBy("doc_id")
   }
 
   /** token-position n-shingles as space-joined strings via SQL transform.
@@ -170,19 +228,22 @@ object LlmText {
     * and lineage is truncated per round with localCheckpoint so the plan
     * stays O(1) per round. Output: component id (min doc_id) and size,
     * singletons included. */
-  def llmDedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = jaccardPairsCore(spark, sfDir).select("a", "b")
+  /** Distributed min-label connected components over an undirected pair
+    * list (columns (a, b)) — shared by `llm_dedup_cluster` and
+    * `llm_minhash_dedup_keep`. Per round every node takes the min of its
+    * own and its neighbors' labels — one shuffle join + partial-agg min per
+    * round, converging in O(component diameter) rounds. The driver loop
+    * carries only the convergence flag (Pregel-style iteration, not a data
+    * loop), and lineage is truncated per round with localCheckpoint so the
+    * plan stays O(1) per round. Only nodes that appear in an edge are
+    * propagated (near-dup graphs are sparse; callers add untouched rows
+    * back analytically). Returns (id, label) with label = component min. */
+  private def connectedComponents(pairs: DataFrame): DataFrame = {
     // materialize the edge list once — every propagation round joins it, and
     // without the checkpoint each round re-runs the whole pair pipeline
     // (and the union would run it twice per round)
     val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
       .localCheckpoint()
-    // Only nodes that appear in an edge can ever change label — propagate
-    // over those alone (near-dup graphs are sparse: a tiny fraction of the
-    // corpus at any scale), and add the untouched documents back as
-    // size-1 singleton clusters analytically afterwards. Identical output,
-    // and each round's join/aggregate moves edge-endpoint rows instead of
-    // the whole corpus.
     val nodes = edges.select(col("src").as("id")).distinct()
     var labels = nodes.withColumn("label", col("id")).localCheckpoint()
     var changed = 1L
@@ -203,7 +264,14 @@ object LlmText {
       iter += 1
     }
     require(changed == 0,
-      s"llmDedupCluster did not converge within $maxIter rounds — component diameter bug?")
+      s"connectedComponents did not converge within $maxIter rounds — component diameter bug?")
+    labels
+  }
+
+  def llmDedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = jaccardPairsCore(spark, sfDir).select("a", "b")
+    val labels = connectedComponents(pairs)
+    val nodes = labels.select("id")
     val comps = labels.groupBy(col("label").as("cluster")).agg(count(lit(1)).as("csize"))
     val singletons = Tables.documents(spark, sfDir).select(col("doc_id").as("cluster"))
       .join(nodes.select(col("id").as("cluster")), Seq("cluster"), "left_anti")
@@ -731,6 +799,7 @@ object LlmText {
     "llm_simhash_neardup" -> llmSimhashNeardup,
     "llm_dedup_exact" -> llmDedupExact,
     "llm_dedup_minhash" -> llmDedupMinhash,
+    "llm_minhash_dedup_keep" -> llmMinhashDedupKeep,
     "llm_jaccard_exact" -> llmJaccardExact,
     "llm_dedup_cluster" -> llmDedupCluster,
     "llm_ngram_jaccard" -> llmNgramJaccard,

@@ -67,7 +67,35 @@ object ScaleStress {
     // round 8: the three most pair-shaped operators that were not yet
     // ratio-measured — banded-LSH minhash dedup, the blocked cosine top-k
     // pair join, and the IVF-shortlist kNN labeler
-    "llm_dedup_minhash", "llm_cosine_topk", "llm_knn_label")
+    "llm_dedup_minhash", "llm_cosine_topk", "llm_knn_label",
+    // round 9: the representative-based minhash dedup — the linear-work
+    // scale path past the pair listing (see maxMult note below)
+    "llm_minhash_dedup_keep")
+
+  /** Per-query sweep ceilings for operators whose work is super-linear BY
+    * DECLARATION, so running them at every scale proves nothing new and
+    * would dominate the sweep's wall clock. `llm_cosine_topk` is the EXACT
+    * all-pairs baseline — N²/2 dot products is its definition, and the
+    * x1→x10 point (measured ×121 on ×100 pair growth, round 9) CONFIRMS
+    * the implementation adds no overhead beyond the declared shape. Its
+    * designed 100× path is `llm_ann_ivf`, which runs at every scale. At
+    * x100 the exact form would be ~2×10¹² dot products (~an hour on this
+    * box) — measured once as quadratic, there is nothing further to learn
+    * from paying that twice per sweep. Skips are recorded in the JSON
+    * (`"skipped"`) so tools/scale_table.py renders them as by-design
+    * gaps rather than failures, and excludes capped queries from every
+    * scale's printed total so totals stay set-comparable.
+    *
+    * `llm_dedup_minhash` (the PAIR LISTING) is capped at 30: the round-9
+    * sweep measured 588 s / ratio ~170 at 100× on family-structured data
+    * (100-copy near-dup families → ~family²/2 pairs inside every shared
+    * band bucket) — that is the OUTPUT's intrinsic quadratic-in-family
+    * shape, not an implementation defect, and re-paying it twice per sweep
+    * teaches nothing. The linear-work dedup semantics
+    * (`llm_minhash_dedup_keep`: star edges to each bucket's min + connected
+    * components) runs at every scale in its place. */
+  private[tools] val maxMult: Map[String, Int] =
+    Map("llm_cosine_topk" -> 10, "llm_dedup_minhash" -> 30)
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -101,13 +129,14 @@ object ScaleStress {
       }
     }
 
-    val dirs = ("x1" -> baseDir) +: mults.map(m => s"x$m" -> s"$outRoot/x$m")
-    val results = dirs.map { case (tag, dir) =>
+    val dirs = (1, "x1", baseDir) +: mults.map(m => (m, s"x$m", s"$outRoot/x$m"))
+    val results = dirs.map { case (mult, tag, dir) =>
       // each scale's IVF serving cache is sized to ITS corpus; release the
       // previous scales' caches so memory doesn't compound across the sweep
       // (unpersist + memo drop — the next touch rebuilds and re-caches)
       graft.operators.LlmVector.releaseCellCache(spark)
-      val times = headline.map { name =>
+      val (capped, active) = headline.partition(q => maxMult.get(q).exists(mult > _))
+      val times = active.map { name =>
         def once(): Double = {
           val t0 = System.nanoTime()
           SparkEntry.queries(name)(spark, dir).count()
@@ -124,15 +153,16 @@ object ScaleStress {
         "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       }.mkString("{", ",", "}")
       val total = times.collect { case (_, v) if v >= 0 => v }.sum
-      println(s"""{"scale":"$tag","total_sec":${f"$total%.2f"},"queries":$qs}""")
+      val skipped = capped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      println(s"""{"scale":"$tag","total_sec":${f"$total%.2f"},"queries":$qs,"skipped":$skipped}""")
       tag -> times.toMap
     }.toMap
 
-    // ratio summary vs x1
+    // ratio summary vs x1 (capped queries are simply absent at capped scales)
     val base = results("x1")
     mults.foreach { m =>
       val r = results(s"x$m")
-      val ratios = headline.map { q =>
+      val ratios = headline.filter(r.contains).map { q =>
         val ratio = if (base(q) > 0 && r(q) > 0) r(q) / base(q) else -1.0
         "\"" + q + "\":" + f"${ratio}%.1f"
       }.mkString("{", ",", "}")

@@ -48,6 +48,39 @@ class LlmSpec extends SparkSpec {
       s"estimate ${est.get} too far from exact ${43.0 / 49.0}")
   }
 
+  test("minhash keep: fixture near-dups collapse, others keep themselves") {
+    val keep = LlmText.llmMinhashDedupKeep(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keep == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L), s"got $keep")
+  }
+
+  private lazy val familyDir: String = {
+    // A 6-copy near-dup FAMILY — each copy appends one distinct marker token,
+    // exactly the shard-marker shape ScaleStress synthesizes and the shape
+    // that made the pair listing quadratic (family²/2 pairs per shared band
+    // bucket). The keep query must collapse the family with O(family) work.
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_llm_family_fixture"
+    import spark.implicits._
+    val words = Seq("key", "agg", "row", "scan", "slow", "fast", "table", "value",
+      "part", "hash", "join", "sort", "group", "filter", "map", "index")
+    val base = (0 until 48).map(i => words(i % 16) + (i / 16)).mkString(" ")
+    val rows = (0 until 6).map(i => (10L + i, s"$base shard$i", "en", "src0", (base.length + 7).toLong)) :+
+      ((20L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "src0", 52L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("minhash keep collapses a marker-token family to its min doc") {
+    val keep = LlmText.llmMinhashDedupKeep(spark, familyDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byDoc = keep.map(t => t._1 -> t._2).toMap
+    (10L to 15L).foreach(d =>
+      assert(byDoc(d) == 10L, s"family member $d must dedup to 10, got ${byDoc(d)}"))
+    assert(byDoc(20L) == 20L, "the distinct doc must keep itself")
+    assert(keep.count(_._3) == 5, "exactly the 5 non-min family members are dups")
+  }
+
   test("simhash is local: near-dups differ in few bits, distinct docs in many") {
     val sh = LlmText.llmSimhash(spark, fixtureDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -27,20 +27,27 @@ import sys
 
 def parse(path):
     """One log -> (runs: scale->{q:sec}, ratios: scale->{q:ratio},
-    totals: scale->sec, scale_order)."""
-    runs, ratios, totals, scale_order = {}, {}, {}, []
-    for line in open(path).read().splitlines():
-        line = line.strip()
-        if not line.startswith('{"scale"'):
+    totals: scale->sec, scale_order, skipped: scale->set(q)).
+
+    Lines may carry tmux/ANSI escape prefixes (pipe-pane capture); the JSON
+    is located by substring, not line anchor. A `"skipped"` array records
+    queries the harness excluded at that scale BY DESIGN (ScaleStress
+    `maxMult` — declared super-linear baselines); they are rendered as
+    by-design gaps, not failures."""
+    runs, ratios, totals, scale_order, skipped = {}, {}, {}, [], {}
+    for line in open(path, errors="replace").read().splitlines():
+        i = line.find('{"scale"')
+        if i < 0:
             continue
-        d = json.loads(line)
+        d = json.JSONDecoder().raw_decode(line[i:])[0]
         if "queries" in d:
             runs[d["scale"]] = d["queries"]
             totals[d["scale"]] = d["total_sec"]
             scale_order.append(d["scale"])
+            skipped[d["scale"]] = set(d.get("skipped", []))
         elif "time_ratios_vs_x1" in d:
             ratios[d["scale"]] = d["time_ratios_vs_x1"]
-    return runs, ratios, totals, scale_order
+    return runs, ratios, totals, scale_order, skipped
 
 
 def fail(msg):
@@ -54,12 +61,13 @@ if not paths:
 sweeps = [parse(p) for p in paths]
 
 # validate every sweep is complete and consistent before aggregating
-for p, (runs, ratios, totals, scale_order) in zip(paths, sweeps):
+for p, (runs, ratios, totals, scale_order, skipped) in zip(paths, sweeps):
     if "x1" not in runs:
         fail(f"{p} has no x1 run — sweep did not reach the base scale")
     base_qs = list(runs["x1"].keys())
     for s in scale_order:
-        missing = [q for q in base_qs if q not in runs[s]]
+        missing = [q for q in base_qs
+                   if q not in runs[s] and q not in skipped.get(s, set())]
         if missing:
             fail(f"{p} scale {s} is missing queries present at x1 "
                  f"(interrupted sweep?): {missing}")
@@ -68,21 +76,27 @@ for p, (runs, ratios, totals, scale_order) in zip(paths, sweeps):
             fail(f"{p} has a {s} run but no time_ratios_vs_x1 line for it "
                  f"(sweep interrupted before the summary)")
 
-runs0, _, _, scale_order = sweeps[0]
+runs0, _, _, scale_order, skipped0 = sweeps[0]
 order = list(runs0["x1"].keys())
-for p, (runs, _, _, so) in zip(paths, sweeps):
-    if so != scale_order or list(runs["x1"].keys()) != order:
-        fail(f"{p} covers different scales/queries than {paths[0]} — "
+for p, (runs, _, _, so, sk) in zip(paths, sweeps):
+    if so != scale_order or list(runs["x1"].keys()) != order or sk != skipped0:
+        fail(f"{p} covers different scales/queries/skips than {paths[0]} — "
              f"aggregate only same-shape sweeps")
 
 mults = [s for s in scale_order if s != "x1"]
 multi = len(sweeps) > 1
-failed = sorted({q for runs, _, _, _ in sweeps
-                 for s in scale_order for q in order if runs[s][q] < 0})
+failed = sorted({q for runs, _, _, _, _ in sweeps
+                 for s in scale_order for q in order
+                 if q in runs[s] and runs[s][q] < 0})
+# queries capped at some scale (by-design super-linear baselines): excluded
+# from every scale's total so the total row compares one fixed query set
+capped = sorted({q for s in scale_order for q in skipped0.get(s, set())})
 
 
 def sec_cell(s, q):
-    vals = [runs[s][q] for runs, _, _, _ in sweeps]
+    if q in skipped0.get(s, set()):
+        return "—"
+    vals = [runs[s][q] for runs, _, _, _, _ in sweeps]
     if any(v < 0 for v in vals):
         return "FAIL"
     if not multi:
@@ -91,7 +105,9 @@ def sec_cell(s, q):
 
 
 def ratio_cell(s, q):
-    vals = [ratios[s][q] for _, ratios, _, _ in sweeps]
+    if q in skipped0.get(s, set()):
+        return "—"
+    vals = [ratios[s][q] for _, ratios, _, _, _ in sweeps]
     if any(v < 0 for v in vals):
         return "FAIL"
     if not multi:
@@ -115,14 +131,20 @@ if failed:
           f"from their scale's total_sec, so totals would compare different "
           f"query sets. Fix the failures and re-sweep.", file=sys.stderr)
 else:
+    # recompute totals over the fixed uncapped query set (the harness's
+    # total_sec includes capped queries at the scales where they DID run,
+    # which would make totals compare different sets across scales)
+    def tot(runs, s):
+        return sum(runs[s][q] for q in order if q not in capped)
+
     def tot_cell(s):
-        vals = [totals[s] for _, _, totals, _ in sweeps]
+        vals = [tot(runs, s) for runs, _, _, _, _ in sweeps]
         if not multi:
             return f"**{vals[0]:.1f}**"
         return f"**{min(vals):.1f} ({statistics.median(vals):.1f})**"
 
     def tot_ratio(s):
-        vals = [totals[s] / totals["x1"] for _, _, totals, _ in sweeps]
+        vals = [tot(runs, s) / tot(runs, "x1") for runs, _, _, _, _ in sweeps]
         if not multi:
             return f"**{vals[0]:.1f}**"
         return (f"**{statistics.median(vals):.1f} "
@@ -131,12 +153,16 @@ else:
     secs = " | ".join(tot_cell(s) for s in scale_order)
     rats = " | ".join(tot_ratio(s) for s in mults)
     print(f"| **total** | {secs} | {rats} |")
+    if capped:
+        print(f"total row excludes by-design-capped queries: {capped}",
+              file=sys.stderr)
 
 if mults:
     last = mults[-1]
+    measurable = [q for q in order if q not in skipped0.get(last, set())]
     def med_ratio(q):
-        vals = [ratios[last][q] for _, ratios, _, _ in sweeps]
+        vals = [ratios[last][q] for _, ratios, _, _, _ in sweeps]
         return statistics.median(vals) if all(v >= 0 for v in vals) else -1.0
-    top = sorted(((q, med_ratio(q)) for q in order), key=lambda kv: -kv[1])
+    top = sorted(((q, med_ratio(q)) for q in measurable), key=lambda kv: -kv[1])
     label = f"median of {len(sweeps)} sweeps" if multi else "single sweep"
     print(f"top {last} ratios ({label}):", top[:5], file=sys.stderr)
