@@ -130,7 +130,14 @@ object LlmText {
     * Bands stay NARROW through the bucket join (signatures re-attach by
     * doc_id only for the confirmed star edges — O(docs·8) rows, unlike the
     * pair query where the signature IS the dominant product). */
-  def llmMinhashDedupKeep(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The confirmed star-edge stage of `llm_minhash_dedup_keep`, separated
+    * so the spec can assert its growth law directly: an n-member
+    * mutually-similar family yields EXACTLY n−1 edges (every band bucket
+    * holds the family, every bucket's representative is the family min, and
+    * the pair-level distinct collapses the 8 bands), where the pair listing
+    * yields n(n−1)/2 — the de-quadratization claim as a countable fact,
+    * which wall-clock sweeps can only suggest. Returns (a=rep, b=member). */
+  private[graft] def minhashStarEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val sigs = minhashSigs(spark, sfDir).localCheckpoint()
     val bands = sigs.select(col("doc_id"), posexplode(bandHashes(col("sig"))))
       .toDF("doc_id", "band_idx", "band_hash")
@@ -140,12 +147,15 @@ object LlmText {
     val star = bands.join(reps, Seq("band_idx", "band_hash"))
       .filter(col("doc_id") =!= col("rep"))
       .select("rep", "doc_id").distinct()
-    val confirmed = star
+    star
       .join(sigs.select(col("doc_id").as("rep"), col("sig").as("sig_r")), Seq("rep"))
       .join(sigs.select(col("doc_id"), col("sig").as("sig_d")), Seq("doc_id"))
       .filter(estJaccard(col("sig_r"), col("sig_d")) >= 0.8)
       .select(col("rep").as("a"), col("doc_id").as("b"))
-    val labels = connectedComponents(confirmed)
+  }
+
+  def llmMinhashDedupKeep(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = connectedComponents(minhashStarEdges(spark, sfDir))
     docs(spark, sfDir).select("doc_id")
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("keep_id"))

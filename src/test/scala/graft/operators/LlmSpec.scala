@@ -81,6 +81,35 @@ class LlmSpec extends SparkSpec {
     assert(keep.count(_._3) == 5, "exactly the 5 non-min family members are dups")
   }
 
+  private def familyOf(n: Int): String = {
+    // n marker-token near-dup copies of one base doc — the family shape that
+    // makes the pair listing quadratic
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_llm_family_$n"
+    import spark.implicits._
+    val words = Seq("key", "agg", "row", "scan", "slow", "fast", "table", "value",
+      "part", "hash", "join", "sort", "group", "filter", "map", "index")
+    val base = (0 until 48).map(i => words(i % 16) + (i / 16)).mkString(" ")
+    (0 until n).map(i => (100L + i, s"$base shard$i", "en", "src0", (base.length + 7).toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("star edges grow linearly in family size where the pair listing is quadratic") {
+    // the de-quadratization growth law as a countable fact: an n-member
+    // mutually-similar family yields exactly n-1 confirmed star edges
+    // (bucket rep = family min in every band; pair-level distinct collapses
+    // the 8 bands) vs n(n-1)/2 listed pairs
+    Seq(8, 16).foreach { n =>
+      val dir = familyOf(n)
+      val edges = LlmText.minhashStarEdges(spark, dir).count()
+      val pairs = LlmText.llmDedupMinhash(spark, dir).count()
+      assert(edges == n - 1, s"family of $n: expected ${n - 1} star edges, got $edges")
+      assert(pairs == n.toLong * (n - 1) / 2,
+        s"family of $n: expected ${n * (n - 1) / 2} listed pairs, got $pairs")
+    }
+  }
+
   test("simhash is local: near-dups differ in few bits, distinct docs in many") {
     val sh = LlmText.llmSimhash(spark, fixtureDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
