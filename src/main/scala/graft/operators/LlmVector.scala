@@ -182,15 +182,31 @@ object LlmVector {
   private val cellMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** The served ANN RESULT (top-5 per vector — a, nn, rank, cos; ≤5·N
+    * narrow rows) is memoized alongside the shortlist. Round 9's x100
+    * measurement showed why the shortlist cache alone is not enough: the
+    * expensive stage is DOWNSTREAM of it — the nprobe candidate join and
+    * its ~2B exact dot products re-executed for every consumer, so
+    * llm_knn_label still paid ~60 s at 100× with a fully warm shortlist.
+    * Caching the topk output is what "knn rides the IVF index" actually
+    * requires: the second consumer reads N×5 rows instead of re-scoring.
+    * Same lifecycle and release hook as the shortlist memo. */
+  private val topkMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** Releases this session's IVF serving caches (storage + memo), so the
     * next touch rebuilds AND re-caches. For harnesses that sweep multiple
     * datasets through one session (ScaleStress) — a bare
     * `catalog.clearCache()` would drop the storage but leave the memoized
     * plan unmarked, silently downgrading later runs to uncached recompute. */
-  private[graft] def releaseCellCache(spark: SparkSession): Unit =
+  private[graft] def releaseCellCache(spark: SparkSession): Unit = {
     cellMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
       cellMemo.remove(k).foreach(_.unpersist())
     }
+    topkMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
+      topkMemo.remove(k).foreach(_.unpersist())
+    }
+  }
 
   private def cellScored(spark: SparkSession, sfDir: String): DataFrame = {
     // evict entries whose session has been stopped: their storage is already
@@ -310,6 +326,13 @@ object LlmVector {
     * orders), hence oracle-checkable; LlmSpec additionally measures recall
     * vs the exact baseline. This is the 100-TB similarity-search path. */
   private def annTopkCore(spark: SparkSession, sfDir: String): DataFrame = {
+    topkMemo.keysIterator.foreach { k =>
+      if (k._1.sparkContext.isStopped) topkMemo.remove(k): Unit
+    }
+    topkMemo.getOrElseUpdate((spark, sfDir), buildAnnTopk(spark, sfDir).cache())
+  }
+
+  private def buildAnnTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val ranked = cellScored(spark, sfDir)
     // ranked is narrow (round 6/7) — embeddings re-attach by vec_id
     // equi-join (linear, broadcast at small N / shuffled at scale) instead
