@@ -52,6 +52,15 @@ object Bench {
     }
     warmJoinsWindows()
     val failures = scala.collection.mutable.ListBuffer.empty[String]
+    // Queries that serve from a session-lifetime memo (the IVF index + its
+    // served top-k, LlmVector): under min-of-2 their FIRST run pays the index
+    // build and the published min measures the SERVE path only — the
+    // deployment shape an index exists for, but a cross-round bench reader
+    // must be able to tell a cache read from the query. The cold first-run
+    // time is captured per memoized query and published alongside the min
+    // (`"memoized_cold"` in both JSON lines).
+    val memoized = Seq("llm_ann_ivf", "llm_knn_label")
+    val coldTimes = scala.collection.mutable.Map.empty[String, Double]
     // Each query is timed as MIN of two back-to-back runs: a one-off JVM
     // pause (GC / JIT / codegen compile) in a single pass can absorb tens of
     // seconds into whichever query it lands on (a 0.6 s query once recorded
@@ -72,7 +81,9 @@ object Bench {
       }
       val t = once() match {
         case None => failures += name; 0.0
-        case Some(a) => once() match {
+        case Some(a) =>
+          if (memoized.contains(name)) coldTimes(name) = a
+          once() match {
           case Some(b) => math.min(a, b)
           // a second-run failure (flaky side effect, or state left behind by
           // the first run) keeps the first timing but must stay visible —
@@ -96,6 +107,11 @@ object Bench {
     // more attempt (the first retry may still sit inside a stall). Genuine
     // heavyweights pay one confirming re-run; stall victims get their real
     // timing back instead of publishing noise as a regression.
+    // Names re-timed by the end-of-suite pass, recorded into the emitted JSON:
+    // a 3-4-run min must be distinguishable from a straight min-of-2 in
+    // round-over-round triage (BENCH_NOTES.md rule 2 keys off whether a
+    // retry was attempted), and stderr does not survive into the artifacts.
+    val retriedNames = scala.collection.mutable.ListBuffer.empty[String]
     val retried = {
       val mins = results.collect { case (k, v) if !failures.contains(k) => v }.toSeq.sorted
       if (mins.isEmpty) results
@@ -105,10 +121,17 @@ object Bench {
         results.map { case (name, t) =>
           if (failures.contains(name) || t < threshold) name -> t
           else {
+            retriedNames += name
             def once(): Option[Double] = {
               val t0 = System.nanoTime()
               try { SparkEntry.queries(name)(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-              catch { case _: Throwable => None }
+              catch {
+                // a deterministic repeat-run breakage that surfaces only here
+                // must stay visible, like the main loop's second-run failures
+                case e: Throwable =>
+                  System.err.println(s"[bench] $name retry run FAILED: ${e.getMessage}")
+                  None
+              }
             }
             val r1 = once()
             val afterR1 = r1.fold(t)(math.min(t, _))
@@ -133,12 +156,18 @@ object Bench {
         "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       }.mkString("{", ",", "}")
     val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val retriedJson = retriedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // cold (first-run, index-build-inclusive) timings for memo-served queries;
+    // their `queries` entries are serve-path minima (see `memoized` above)
+    val coldJson = qsJson(memoized.flatMap(q => coldTimes.get(q).map(q -> _)))
+    val annotations =
+      s""""retried":$retriedJson,"memoized_cold":$coldJson"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"queries":${qsJson(ok)},"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"queries":${qsJson(ok)},"failed":$failed,$annotations,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val head = qsJson(headline.flatMap(q => ok.get(q).map(q -> _)))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"queries":$head,"failed":$failed,"sf":"$sfDir","detail":"$detailPath"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"queries":$head,"failed":$failed,$annotations,"sf":"$sfDir","detail":"$detailPath"}""")
     spark.stop()
   }
 }

@@ -45,6 +45,13 @@ object Tables {
     *   - TIMESTAMP(MICROS,false) (current testdata): reads natively as
     *     `timestamp_ntz`; `epoch_us` is derived with `timestampdiff` against the
     *     NTZ epoch literal — both operands tz-free, so no session-tz dependence.
+    *   - TIMESTAMP(MICROS,false) read as `timestamp` (LTZ): the same file when a
+    *     session has `spark.sql.parquet.inferTimestampNTZ.enabled=false` — the
+    *     raw INT64 micros pass through unchanged, only the Catalyst type
+    *     differs, so `unix_micros` recovers the identical `epoch_us` and
+    *     `ts_ntz` is rebuilt from it with `timestampadd` against the NTZ epoch
+    *     literal. Both derivations are pure integer arithmetic on the stored
+    *     micros — no session-timezone rendering is involved in any branch.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -59,9 +66,14 @@ object Tables {
           .withColumn("epoch_us",
             expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
           .withColumn("ts_ntz", col("ts"))
+      case org.apache.spark.sql.types.TimestampType =>
+        raw
+          .withColumn("epoch_us", unix_micros(col("ts")))
+          .withColumn("ts_ntz",
+            expr("timestampadd(MICROSECOND, unix_micros(ts), TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
       case other =>
         throw new IllegalStateException(
-          s"events.ts has unsupported parquet type $other — expected INT64 nanos (Long) or TIMESTAMP_NTZ micros")
+          s"events.ts has unsupported parquet type $other — expected INT64 nanos (Long) or TIMESTAMP(MICROS) as ntz/ltz")
     }
   }
 }

@@ -128,9 +128,13 @@ object Aggregations {
       .orderBy("l_returnflag", "l_linestatus")
 
   /** GROUPING SETS ((c_mktsegment), (n_name), ()) via Spark 4's native
-    * `Dataset.groupingSets` — this used to be the engine's one SQL-parser
-    * entry (pre-4.0 the DataFrame API had no grouping-sets method); now no
-    * query path parses a SQL string or registers a temp view. */
+    * `Dataset.groupingSets` (pre-4.0 the DataFrame API had no grouping-sets
+    * method, making this the one forced SQL-parser entry). Grouping sets no
+    * longer need the parser; the repo's two surviving `spark.sql` query
+    * sites are deliberate: `aggRollup` above (documented workaround for the
+    * DataFrame-API ambiguous-self-join misfire on rollup-over-join) and
+    * `Composite.sqlCorrelatedSubquery` (whose entire point is exercising the
+    * parser + Catalyst decorrelation). */
   def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir)
     val n = Tables.nation(spark, sfDir)

@@ -57,11 +57,20 @@ object LlmText {
     * deployment breaks the tie by WRITING the signature table once
     * (sink-side materialization), which is what the narrow form assumes. */
   /** Fixed odd multipliers/offsets for the 32 universal-hash permutations
-    * h_i(x) = a_i * x + b_i over the 32-bit-masked shingle hash — hash each
-    * shingle ONCE, then permute arithmetically (32 string re-hashes per
-    * shingle would dominate the signature cost). Multipliers stay below 2^30
-    * so a_i * x + b_i < 2^63: no long overflow under Spark 4's default ANSI
-    * mode. */
+    * h_i(x) = (a_i * x + b_i) mod p over the 32-bit-masked shingle hash —
+    * hash each shingle ONCE, then permute arithmetically (32 string
+    * re-hashes per shingle would dominate the signature cost). The mod-p
+    * reduction (p prime > 2^32, so the map is a bijection on the 32-bit
+    * hash universe) is what makes this a universal hash family with
+    * pairwise-independent slot orderings. It is NOT optional: without it
+    * a_i * x + b_i is MONOTONIC in x, every "permutation" ranks shingles
+    * identically, all 32 slots are determined by the one globally-minimal
+    * shingle hash, and the estimated Jaccard degenerates to exactly
+    * {0, 1} (1 iff two docs share their min shingle) — found in round 10
+    * when a fixture search observed only binary estimates. Multipliers
+    * stay below 2^30 so a_i * x + b_i < 2^62: no long overflow under
+    * Spark 4's default ANSI mode. */
+  private val MinhashPrime = 4294967311L // smallest prime above 2^32
   private val permA: IndexedSeq[Long] =
     (0 until 32).map(i => (0x9E3779B9L * (2L * i + 1)) & 0x3FFFFFFFL | 1L)
   private val permB: IndexedSeq[Long] =
@@ -69,7 +78,7 @@ object LlmText {
 
   /** Per-doc 32-slot MinHash signature: (doc_id, sig array<long>). Shared
     * by the pair-listing query and the representative-based keep query. */
-  private def minhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def minhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.HashedShingles.register(spark)
     val d = docs(spark, sfDir)
     // graft_hashed_shingles emits per-doc DISTINCT shingle hashes in one
@@ -78,19 +87,19 @@ object LlmText {
     val sh = d.select(col("doc_id"), explode(expr("graft_hashed_shingles(norm, 3)")).as("h64"))
       .withColumn("h", col("h64").bitwiseAND(lit(0xFFFFFFFFL)))
     val perms = (0 until 32).map(i =>
-      min(col("h") * lit(permA(i)) + lit(permB(i))).as(s"mh$i"))
+      min(pmod(col("h") * lit(permA(i)) + lit(permB(i)), lit(MinhashPrime))).as(s"mh$i"))
     sh.groupBy("doc_id").agg(perms.head, perms.tail: _*)
       .withColumn("sig", array((0 until 32).map(i => col(s"mh$i")): _*))
       .select("doc_id", "sig")
   }
 
   /** The 8 banded LSH bucket hashes of a 32-slot signature (4 rows/band). */
-  private def bandHashes(sig: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def bandHashes(sig: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     array((0 until 8).map(b => xxhash64(concat_ws("_",
       lit(b) +: (0 until 4).map(r => sig(b * 4 + r).cast("string")): _*))): _*)
 
   /** Estimated Jaccard between two 32-slot signatures (equal-slot fraction). */
-  private def estJaccard(sigA: org.apache.spark.sql.Column, sigB: org.apache.spark.sql.Column) =
+  private[graft] def estJaccard(sigA: org.apache.spark.sql.Column, sigB: org.apache.spark.sql.Column) =
     aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x).cast("double") / 32.0
 
@@ -120,11 +129,13 @@ object LlmText {
     * confirms each link at estimated Jaccard ≥ 0.8 against that
     * representative, and runs min-label connected components over the
     * confirmed links (same propagation loop as `llm_dedup_cluster`). Star
-    * edges reach exactly the same components as all-pairs edges for
-    * mutually-similar families (every member confirms against the same
-    * representative); a member similar to some bucket-mate but NOT to the
-    * bucket min can detach where the pair-graph would chain — the declared
-    * trade for linear work, stated here rather than discovered later.
+    * edges reach the same components as all-pairs edges for
+    * mutually-similar families (every member confirms against a shared
+    * representative, and CC merges the per-band stars); a member similar
+    * to some bucket-mate but NOT to its bucket's min can detach where the
+    * pair-graph would chain — the declared trade for linear work, stated
+    * here rather than discovered later and pinned by LlmSpec's chain
+    * fixture.
     * Output: one row per document, its surviving representative, and a
     * dup flag — deterministic given the fixed permutation constants.
     * Bands stay NARROW through the bucket join (signatures re-attach by
@@ -132,11 +143,16 @@ object LlmText {
     * pair query where the signature IS the dominant product). */
   /** The confirmed star-edge stage of `llm_minhash_dedup_keep`, separated
     * so the spec can assert its growth law directly: an n-member
-    * mutually-similar family yields EXACTLY n−1 edges (every band bucket
-    * holds the family, every bucket's representative is the family min, and
-    * the pair-level distinct collapses the 8 bands), where the pair listing
-    * yields n(n−1)/2 — the de-quadratization claim as a countable fact,
-    * which wall-clock sweeps can only suggest. Returns (a=rep, b=member). */
+    * mutually-similar family yields O(n) edges — hard bound 8n, since each
+    * of a member's 8 band rows contributes at most one (rep, member) edge
+    * after the pair-level distinct; measured ~1.5-2n on the family fixture
+    * — where the pair listing yields n(n−1)/2. (With the round-10 mod-prime
+    * minhash the count is no longer EXACTLY n−1: slot orderings are
+    * pairwise-independent, so a band bucket holds each member only with
+    * P = estJ⁴ and different bands can elect different reps; connected
+    * components still collapse the overlapping stars into one family.)
+    * The de-quadratization claim stays a countable fact, which wall-clock
+    * sweeps can only suggest. Returns (a=rep, b=member). */
   private[graft] def minhashStarEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val sigs = minhashSigs(spark, sfDir).localCheckpoint()
     val bands = sigs.select(col("doc_id"), posexplode(bandHashes(col("sig"))))

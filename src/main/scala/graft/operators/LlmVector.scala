@@ -5,6 +5,48 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
+/** LRU-bounded memo for session-lifetime serving caches of cached
+  * DataFrames, keyed by (session, sfDir).
+  *
+  * Contract (the "one-session lifecycle" the callers rely on):
+  *  - at most `cap` entries are held; inserting past the cap unpersists and
+  *    drops the least-recently-USED entry (a `get` hit refreshes recency);
+  *  - entries whose SparkContext has stopped are dropped on every access —
+  *    their storage died with the context, and keeping the key would pin
+  *    the session + logical plan for the JVM lifetime (a slow leak in
+  *    processes that churn sessions, e.g. repeated test suites);
+  *  - `release(session)` unpersists and drops all of one session's entries
+  *    (ScaleStress calls it between scales so per-scale caches never
+  *    coexist).
+  * All access is synchronized on the underlying map — contention is nil
+  * (entries are built once per session/dir and reads are memo hits). */
+private[graft] final class ServingMemo(cap: Int) {
+  private val m =
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        if (this.size() > cap) { e.getValue.unpersist(); true } else false
+    }
+
+  def get(spark: SparkSession, sfDir: String)(build: => DataFrame): DataFrame =
+    m.synchronized {
+      val it = m.entrySet().iterator()
+      while (it.hasNext) if (it.next().getKey._1.sparkContext.isStopped) it.remove()
+      val k = (spark, sfDir)
+      Option(m.get(k)).getOrElse { val v = build; m.put(k, v); v }
+    }
+
+  def release(spark: SparkSession): Unit = m.synchronized {
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) { e.getValue.unpersist(); it.remove() }
+    }
+  }
+
+  private[graft] def size: Int = m.synchronized(m.size())
+}
+
 /** Embedding / similarity-search / multimodal operators (SURVEY.md §2.10 +
   * builder-prompt extensions).
   *
@@ -179,8 +221,17 @@ object LlmVector {
     * needed; the memo map exists so repeated query invocations reuse the ONE
     * cached plan instead of re-calling .cache() per invocation (which logged
     * "already cached" warnings every bench pass). */
-  private val cellMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  /** Both serving memos are LRU-bounded at this many (session, sfDir)
+    * entries: the intended consumers hold ≤1 live entry (Verify/Bench: one
+    * dir; ScaleStress: one dir at a time with an explicit release between
+    * scales), so the cap never evicts in the shipped harnesses — it exists
+    * so a long-lived session sweeping many directories WITHOUT releasing
+    * accumulates a bounded set of cached DataFrames instead of growing for
+    * the session lifetime. Eviction unpersists the cached storage; the next
+    * touch of an evicted (session, sfDir) rebuilds and re-caches. */
+  private val MemoCap = 4
+
+  private val cellMemo = new ServingMemo(MemoCap)
 
   /** The served ANN RESULT (top-5 per vector — a, nn, rank, cos; ≤5·N
     * narrow rows) is memoized alongside the shortlist. Round 9's x100
@@ -191,8 +242,7 @@ object LlmVector {
     * Caching the topk output is what "knn rides the IVF index" actually
     * requires: the second consumer reads N×5 rows instead of re-scoring.
     * Same lifecycle and release hook as the shortlist memo. */
-  private val topkMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val topkMemo = new ServingMemo(MemoCap)
 
   /** Releases this session's IVF serving caches (storage + memo), so the
     * next touch rebuilds AND re-caches. For harnesses that sweep multiple
@@ -200,24 +250,12 @@ object LlmVector {
     * `catalog.clearCache()` would drop the storage but leave the memoized
     * plan unmarked, silently downgrading later runs to uncached recompute. */
   private[graft] def releaseCellCache(spark: SparkSession): Unit = {
-    cellMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
-      cellMemo.remove(k).foreach(_.unpersist())
-    }
-    topkMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
-      topkMemo.remove(k).foreach(_.unpersist())
-    }
+    cellMemo.release(spark)
+    topkMemo.release(spark)
   }
 
-  private def cellScored(spark: SparkSession, sfDir: String): DataFrame = {
-    // evict entries whose session has been stopped: their storage is already
-    // released with the SparkContext, but the map entry would otherwise pin
-    // the session + logical plan for the JVM lifetime — a slow leak in
-    // processes that churn sessions (e.g. repeated test suites)
-    cellMemo.keysIterator.foreach { k =>
-      if (k._1.sparkContext.isStopped) cellMemo.remove(k): Unit
-    }
-    cellMemo.getOrElseUpdate((spark, sfDir), buildCellScored(spark, sfDir))
-  }
+  private def cellScored(spark: SparkSession, sfDir: String): DataFrame =
+    cellMemo.get(spark, sfDir)(buildCellScored(spark, sfDir))
 
   /** Max sign-projection bits per label cell (2^8 × 10 labels = 2560 cells
     * at the cap; beyond that a production deployment re-derives centroids
@@ -325,12 +363,8 @@ object LlmVector {
     * per-consumer window re-sort. Deterministic (rounded centroids, total
     * orders), hence oracle-checkable; LlmSpec additionally measures recall
     * vs the exact baseline. This is the 100-TB similarity-search path. */
-  private def annTopkCore(spark: SparkSession, sfDir: String): DataFrame = {
-    topkMemo.keysIterator.foreach { k =>
-      if (k._1.sparkContext.isStopped) topkMemo.remove(k): Unit
-    }
-    topkMemo.getOrElseUpdate((spark, sfDir), buildAnnTopk(spark, sfDir).cache())
-  }
+  private def annTopkCore(spark: SparkSession, sfDir: String): DataFrame =
+    topkMemo.get(spark, sfDir)(buildAnnTopk(spark, sfDir).cache())
 
   private def buildAnnTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val ranked = cellScored(spark, sfDir)

@@ -136,33 +136,62 @@ object ScaleStress {
       // (unpersist + memo drop — the next touch rebuilds and re-caches)
       graft.operators.LlmVector.releaseCellCache(spark)
       val (capped, active) = headline.partition(q => maxMult.get(q).exists(mult > _))
-      val times = active.map { name =>
+      val times = active.flatMap { name =>
         def once(): Double = {
           val t0 = System.nanoTime()
           SparkEntry.queries(name)(spark, dir).count()
           (System.nanoTime() - t0) / 1e9
         }
-        val t = try math.min(once(), once()) catch {
-          case e: Throwable =>
-            System.err.println(s"[scale] $name @ $tag FAILED: ${e.getMessage}")
-            -1.0
+        // llm_ann_ivf serves from the session memo (LlmVector.topkMemo); with
+        // the cache released at the top of this scale, its first run IS the
+        // index build and the second is a pure serve. Publish both as
+        // separately-swept lines — the SCALE table's ann story is
+        // build-once/serve-cheap, and a min-of-2 alone would silently report
+        // only the serve path (the round-9 verdict's stale-rows finding).
+        // llm_knn_label then rides the already-built memo, so its min-of-2 is
+        // the serve-path labeler by construction (noted in SCALE.md).
+        if (name == "llm_ann_ivf") {
+          try {
+            val tBuild = once()
+            val tServe = math.min(once(), once())
+            Seq("llm_ann_ivf_build" -> tBuild, "llm_ann_ivf" -> tServe)
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[scale] $name @ $tag FAILED: ${e.getMessage}")
+              Seq(name -> -1.0)
+          }
+        } else {
+          val t = try math.min(once(), once()) catch {
+            case e: Throwable =>
+              System.err.println(s"[scale] $name @ $tag FAILED: ${e.getMessage}")
+              -1.0
+          }
+          Seq(name -> t)
         }
-        name -> t
       }
       val qs = times.map { case (k, v) =>
         "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       }.mkString("{", ",", "}")
-      val total = times.collect { case (_, v) if v >= 0 => v }.sum
+      // total_sec compares ONE fixed query set across every scale: capped
+      // queries are excluded even at scales where they DID run (their x1/x10
+      // timings stay in "queries" for ratio work), and the auxiliary
+      // llm_ann_ivf_build line is excluded too (the serve-path llm_ann_ivf
+      // entry is the one in the comparable set). Raw-log totals are now
+      // set-comparable without tools/scale_table.py's correction.
+      val total = times.collect {
+        case (k, v) if v >= 0 && !maxMult.contains(k) && k != "llm_ann_ivf_build" => v
+      }.sum
       val skipped = capped.map("\"" + _ + "\"").mkString("[", ",", "]")
       println(s"""{"scale":"$tag","total_sec":${f"$total%.2f"},"queries":$qs,"skipped":$skipped}""")
       tag -> times.toMap
     }.toMap
 
-    // ratio summary vs x1 (capped queries are simply absent at capped scales)
+    // ratio summary vs x1 over every key measured at both scales (includes
+    // the _build line; capped queries are simply absent at capped scales)
     val base = results("x1")
     mults.foreach { m =>
       val r = results(s"x$m")
-      val ratios = headline.filter(r.contains).map { q =>
+      val ratios = r.keys.toSeq.sorted.filter(base.contains).map { q =>
         val ratio = if (base(q) > 0 && r(q) > 0) r(q) / base(q) else -1.0
         "\"" + q + "\":" + f"${ratio}%.1f"
       }.mkString("{", ",", "}")

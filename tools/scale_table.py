@@ -131,11 +131,15 @@ if failed:
           f"from their scale's total_sec, so totals would compare different "
           f"query sets. Fix the failures and re-sweep.", file=sys.stderr)
 else:
-    # recompute totals over the fixed uncapped query set (the harness's
-    # total_sec includes capped queries at the scales where they DID run,
-    # which would make totals compare different sets across scales)
+    # recompute totals over the fixed uncapped query set (round-9-era harness
+    # total_sec included capped queries at the scales where they DID run;
+    # round-10 ScaleStress already excludes them, so for new logs this
+    # recompute is an identity). Auxiliary *_build lines (the separately-swept
+    # IVF index build) stay out of totals like in the harness — the serve-path
+    # llm_ann_ivf entry is the one in the comparable set.
     def tot(runs, s):
-        return sum(runs[s][q] for q in order if q not in capped)
+        return sum(runs[s][q] for q in order
+                   if q not in capped and not q.endswith("_build"))
 
     def tot_cell(s):
         vals = [tot(runs, s) for runs, _, _, _, _ in sweeps]
