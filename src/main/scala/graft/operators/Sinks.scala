@@ -315,12 +315,53 @@ object Sinks {
   def sinkManifestPrune(spark: SparkSession, sfDir: String): DataFrame =
     prunedScan(spark, sfDir)._2.orderBy("o_orderkey")
 
+  /** Bucketed co-located join — the write-once/shuffle-never layout for
+    * repeated fact⋈fact joins. Both fact tables are written `bucketBy(8,
+    * <orderkey>).sortBy(<orderkey>)` (hash-bucketed AND sorted within
+    * buckets), so the subsequent equi-join on the bucket key plans as a
+    * sort-merge join with NO Exchange and NO per-query Sort below it —
+    * the one-time write cost buys every later join's shuffle. At 100 TB
+    * this is the difference between re-shuffling the fact table per join
+    * and reading co-located buckets in place; bucket count would be
+    * thousands there (8 here, sized to the test SFs — the technique, not
+    * the constant, is the claim). The merge hint pins the strategy so the
+    * small test-SF sides don't take the broadcast path that would hide
+    * the co-location. BucketingSpec asserts the physical claim (no
+    * Exchange below the join); the DuckDB oracle checks the logical one
+    * (result ≡ the same join over the raw parquet). Table names and
+    * paths are per-sfDir so multi-dataset sessions (ScaleStress) don't
+    * cross-contaminate; tmpRoot cleans up on JVM exit. */
+  def sinkBucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val suffix = math.abs(sfDir.hashCode).toString
+    val (liT, ordT) = (s"graft_li_b_$suffix", s"graft_ord_b_$suffix")
+    val root = s"${Scans.tmpRoot(spark)}/bucketed_$suffix"
+    spark.sql(s"DROP TABLE IF EXISTS $liT")
+    spark.sql(s"DROP TABLE IF EXISTS $ordT")
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_linestatus")
+      .write.mode("overwrite").format("parquet").option("path", s"$root/li")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liT)
+    Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderstatus")
+      .write.mode("overwrite").format("parquet").option("path", s"$root/ord")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordT)
+    spark.table(liT).hint("merge")
+      .join(spark.table(ordT).hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus", "l_linestatus")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        countDistinct("l_partkey").as("n_parts"))
+      .orderBy("o_orderstatus", "l_linestatus")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sink_merge_upsert" -> sinkMergeUpsert,
     "sink_compaction" -> sinkCompaction,
     "sink_zorder" -> sinkZorder,
     "sink_time_travel" -> sinkTimeTravel,
     "sink_manifest_prune" -> sinkManifestPrune,
+    "sink_bucketed_join" -> sinkBucketedJoin,
   )
 
   val oracles: Map[String, String] = Map(
@@ -365,6 +406,16 @@ object Sinks {
     // logical half of the manifest-pruned scan: a plain key-range filter
     // over the full table (the physical fewer-files half is spec-gated —
     // file footprints aren't observable from SQL)
+    // logical half of the bucketed co-located join: the same join+agg over
+    // the raw parquet (the physical no-Exchange half is spec-gated in
+    // BucketingSpec — plan shape isn't observable from SQL)
+    "sink_bucketed_join" ->
+      """SELECT o_orderstatus, l_linestatus, count(*) AS n_lines,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus, l_linestatus
+        |ORDER BY o_orderstatus, l_linestatus""".stripMargin,
     "sink_manifest_prune" ->
       """WITH b AS (SELECT min(o_orderkey) AS klo,
         |  min(o_orderkey) + (max(o_orderkey) - min(o_orderkey)) // 4 AS khi

@@ -60,4 +60,27 @@ class BucketingSpec extends SparkSpec {
     assert(viaBuckets.keySet == direct.keySet)
     viaBuckets.foreach { case (k, v) => assert(math.abs(v - direct(k)) < 1e-6) }
   }
+
+  test("sink_bucketed_join plans its join without an Exchange below it") {
+    // the declared operator (merge-hinted, so no broadcast threshold
+    // tweak needed): its join subtree must read co-located buckets in
+    // place — exchanges may appear only ABOVE the join (distinct-agg
+    // expand, final sort)
+    val df = Sinks.sinkBucketedJoin(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, s"expected a sort-merge join over bucketed tables:\n$plan")
+    assert(!plan.substring(joinIdx).contains("Exchange"),
+      s"bucketed join must not shuffle its inputs:\n$plan")
+
+    // and its rows match the same join+agg over the raw parquet
+    val direct = Tables.lineitem(spark, sf001)
+      .join(Tables.orders(spark, sf001), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus", "l_linestatus")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        countDistinct("l_partkey").as("n_parts"))
+      .orderBy("o_orderstatus", "l_linestatus")
+    assert(df.collect().toSeq == direct.collect().toSeq)
+  }
 }
