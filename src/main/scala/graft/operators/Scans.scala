@@ -112,6 +112,38 @@ object Scans {
       .orderBy("o_orderstatus")
   }
 
+  /** Dynamic partition pruning — the runtime companion to the static
+    * pruning `source_partitioned_prune` shows: the fact table is written
+    * partitioned by `o_year`, and the selective predicate lives on a
+    * DIMENSION relation joined on the partition column, so no static rule
+    * can prune the scan. Catalyst's DPP inserts a
+    * `dynamicpruningexpression` into the fact scan's PartitionFilters
+    * (reusing the broadcast dimension's values at runtime), and only the
+    * matching year partitions are read — at 100 TB this is the difference
+    * between scanning the whole fact table and the 3 matching partitions
+    * whenever a query filters through a dimension, which is how star-
+    * schema queries actually arrive. The dimension is derived
+    * deterministically from raw orders (distinct even years) so the
+    * DuckDB oracle can replay the join as a plain WHERE; PlanSpec asserts
+    * the physical claim (dynamicpruningexpression present in the fact
+    * scan's PartitionFilters). */
+  def sourceDppPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = s"${tmpRoot(spark)}/dpp_orders"
+    Tables.orders(spark, sfDir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
+    // partition-dir values read back as int; BIGINT per dtype convention
+    val fact = spark.read.parquet(tmp)
+      .withColumn("o_year", col("o_year").cast("long"))
+    val dim = Tables.orders(spark, sfDir)
+      .select(year(col("o_orderdate")).cast("long").as("d_year")).distinct()
+      .filter(col("d_year") % 2 === 0)
+    fact.join(broadcast(dim), col("o_year") === col("d_year"))
+      .groupBy("o_year", "o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("o_year", "o_orderstatus")
+  }
+
   /** Column-level data profiling over the numeric lineitem measures — the
     * validation pass every large-scale ingest runs (row counts, null
     * counts, ranges, distincts, means) before data is trusted. One
@@ -142,6 +174,7 @@ object Scans {
     "source_csv_roundtrip" -> sourceCsvRoundtrip,
     "source_orc_roundtrip" -> sourceOrcRoundtrip,
     "source_partitioned_prune" -> sourcePartitionedPrune,
+    "source_dpp_prune" -> sourceDppPrune,
   )
 
   val oracles: Map[String, String] = Map(
@@ -180,5 +213,13 @@ object Scans {
         |  round(sum(o_totalprice), 2) AS revenue
         |FROM orders WHERE year(o_orderdate) = 1996
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // logical half of the DPP query: dim(distinct even years) ⋈ fact on the
+    // partition column replays as a plain WHERE (the physical runtime-
+    // pruning half is spec-gated in PlanSpec)
+    "source_dpp_prune" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderstatus,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders WHERE year(o_orderdate) % 2 = 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -170,6 +170,13 @@ class PlanSpec extends SparkSpec {
       s"cohort sizes (cardinality = #weeks) must broadcast:\n$plan")
   }
 
+  test("dpp query plans a dynamic pruning subquery on the fact scan") {
+    val plan = formatted(Scans.sourceDppPrune(spark, sf001))
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("dynamicpruning"),
+      s"fact scan must carry a runtime pruning filter on o_year: $pf\n$plan")
+  }
+
   test("no declared query plans an accidental cross product") {
     // Intentional pairwise/cross plan: only the bounded 25×5 cross-join grid.
     // The similarity-search queries are covered (un-whitelisted) above.
