@@ -70,7 +70,12 @@ object ScaleStress {
     "llm_dedup_minhash", "llm_cosine_topk", "llm_knn_label",
     // round 9: the representative-based minhash dedup — the linear-work
     // scale path past the pair listing (see maxMult note below)
-    "llm_minhash_dedup_keep")
+    "llm_minhash_dedup_keep",
+    // round 10: the two layout-technique operators — bucketed co-located
+    // join (re-runs both bucketed writes per invocation, so its ratio
+    // bounds write+join) and dynamic partition pruning (partitioned write
+    // + runtime-pruned star join)
+    "sink_bucketed_join", "source_dpp_prune")
 
   /** Per-query sweep ceilings for operators whose work is super-linear BY
     * DECLARATION, so running them at every scale proves nothing new and
@@ -117,12 +122,25 @@ object ScaleStress {
 
     mults.foreach(m => synthesize(spark, baseDir, s"$outRoot/x$m", m))
 
+    // Optional subset sweep: SPARK_GRAFT_SCALE_ONLY=q1,q2 restricts the
+    // run to named headline queries — for re-sweeping the rows a change
+    // touched without paying the full 35-query wall clock. Subset runs
+    // print "subset":true so their totals are never compared against a
+    // full sweep's.
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { s =>
+      val unknown = s.diff(headline.toSet)
+      require(unknown.isEmpty, s"SPARK_GRAFT_SCALE_ONLY names not in headline: $unknown")
+    }
+    val swept = only.fold(headline)(s => headline.filter(s))
+
     // Warmup: one full UNTIMED pass of every headline query at base scale.
     // The first execution of each query shape pays multi-second one-time
     // codegen/JIT costs (the first measured run of this harness recorded
     // evt_session at 2.45 s vs its 0.3 s steady state); warming per-shape
     // makes the x1 numbers steady-state and the ratios meaningful.
-    headline.foreach { name =>
+    swept.foreach { name =>
       try SparkEntry.queries(name)(spark, baseDir).count(): Unit
       catch { case e: Throwable =>
         System.err.println(s"[scale] warmup $name FAILED: ${e.getMessage}")
@@ -135,7 +153,7 @@ object ScaleStress {
       // previous scales' caches so memory doesn't compound across the sweep
       // (unpersist + memo drop — the next touch rebuilds and re-caches)
       graft.operators.LlmVector.releaseCellCache(spark)
-      val (capped, active) = headline.partition(q => maxMult.get(q).exists(mult > _))
+      val (capped, active) = swept.partition(q => maxMult.get(q).exists(mult > _))
       val times = active.flatMap { name =>
         def once(): Double = {
           val t0 = System.nanoTime()
@@ -182,7 +200,8 @@ object ScaleStress {
         case (k, v) if v >= 0 && !maxMult.contains(k) && k != "llm_ann_ivf_build" => v
       }.sum
       val skipped = capped.map("\"" + _ + "\"").mkString("[", ",", "]")
-      println(s"""{"scale":"$tag","total_sec":${f"$total%.2f"},"queries":$qs,"skipped":$skipped}""")
+      val subsetField = if (only.isDefined) ""","subset":true""" else ""
+      println(s"""{"scale":"$tag","total_sec":${f"$total%.2f"},"queries":$qs,"skipped":$skipped$subsetField}""")
       tag -> times.toMap
     }.toMap
 
