@@ -126,9 +126,39 @@ object Quality {
       .orderBy("c_custkey", "valid_from")
   }
 
+  /** Pipeline metrics via the Observation API — the zero-extra-pass way to
+    * collect data-quality counters at 100 TB. `dq_constraints` pays one
+    * aggregate job per rule; this operator instead attaches `observe()`
+    * metrics to a pass over the fact table, so the counters ride the SAME
+    * tasks as the main work (Spark accumulators under a CollectMetrics
+    * plan node — PlanSpec asserts the node is present) and cost no second
+    * scan. The observed one-row result is returned as the query output;
+    * the DuckDB oracle recomputes every metric with plain aggregates.
+    * observe() legally takes only deterministic non-distinct aggregates —
+    * exactly what these counters are. The driving action is a noop-format
+    * write: the full pass without materializing rows anywhere. */
+  def dqObserve(spark: SparkSession, sfDir: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = Tables.lineitem(spark, sfDir).observe(obs,
+      count(lit(1)).as("n_rows"),
+      count(when(col("l_quantity").isNull, 1)).as("n_null_qty"),
+      round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+      min("l_quantity").as("min_qty"),
+      max("l_quantity").as("max_qty"),
+      count(when(col("l_discount") > 0.1, 1)).as("n_disc_violation"))
+    observed.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("n_rows").asInstanceOf[Long], m("n_null_qty").asInstanceOf[Long],
+      m("revenue").asInstanceOf[Double], m("min_qty").asInstanceOf[Double],
+      m("max_qty").asInstanceOf[Double], m("n_disc_violation").asInstanceOf[Long]))
+      .toDF("n_rows", "n_null_qty", "revenue", "min_qty", "max_qty", "n_disc_violation")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_constraints" -> dqConstraints,
     "scd2_history" -> scd2History,
+    "dq_observe" -> dqObserve,
   )
 
   val oracles: Map[String, String] = Map(
@@ -136,6 +166,16 @@ object Quality {
     // cannot drift from the Spark side when a rule is added or edited
     "dq_constraints" -> dqRules.map(_.oracleSelect)
       .mkString("SELECT rule, n_violations FROM (\n", "\n  UNION ALL\n", "\n) ORDER BY rule"),
+    // one row of corpus counters; the operator's claim is WHERE they were
+    // computed (on the main pass via CollectMetrics), which the oracle
+    // cannot see — it checks the values with plain aggregates
+    "dq_observe" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_qty,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  CAST(sum(CASE WHEN l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc_violation
+        |FROM lineitem""".stripMargin,
     "scd2_history" ->
       """SELECT c_custkey, c_name,
         |  CASE WHEN c_custkey % 7 = 2 THEN 'REASSIGNED' ELSE c_mktsegment END AS c_mktsegment,

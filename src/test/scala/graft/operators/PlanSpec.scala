@@ -177,6 +177,14 @@ class PlanSpec extends SparkSpec {
       s"fact scan must carry a runtime pruning filter on o_year: $pf\n$plan")
   }
 
+  test("dq_observe collects its metrics on the main pass (CollectMetrics node)") {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = graft.Tables.lineitem(spark, sf001)
+      .observe(obs, count(lit(1)).as("n_rows"))
+    assert(formatted(observed).contains("CollectMetrics"),
+      "observe() metrics must ride the scan as a CollectMetrics node")
+  }
+
   test("no declared query plans an accidental cross product") {
     // Intentional pairwise/cross plan: only the bounded 25×5 cross-join grid.
     // The similarity-search queries are covered (un-whitelisted) above.
