@@ -179,6 +179,39 @@ object LlmText {
       .orderBy("doc_id")
   }
 
+  /** Doc-level split assignment keyed by near-dup FAMILY (private: the
+    * public query aggregates; the spec asserts atomicity on this frame).
+    * Split = hash bucket of keep_id, the family's connected-component
+    * label from the keep query — so every member of a near-dup family
+    * lands in the same subset by construction. */
+  private[graft] def neardupSplitAssignments(spark: SparkSession, sfDir: String): DataFrame =
+    llmMinhashDedupKeep(spark, sfDir)
+      .withColumn("bucket", pmod(xxhash64(col("keep_id")), lit(10)))
+      .withColumn("split",
+        when(col("bucket") < 8, lit("train"))
+          .when(col("bucket") === 8, lit("val"))
+          .otherwise(lit("test")))
+      .select("doc_id", "keep_id", "is_dup", "split")
+
+  /** Near-dup-safe train/val/test split — the leakage `llm_split_stratified`
+    * cannot prevent: content-hash splitting keeps EXACT duplicates together,
+    * but two near-duplicate documents (one token apart) hash differently
+    * and can straddle train/test, leaking test content into training. Here
+    * the split key is the near-dup FAMILY label (the keep query's connected
+    * component), so families are atomic across subsets by construction —
+    * LlmSpec asserts no family straddles splits and the 80/10/10 shape.
+    * Spec-gated (no oracle): assignments depend on the MinHash permutations,
+    * like the rest of the minhash family. Scale shape: the star-edge + CC
+    * machinery is shared with `llm_minhash_dedup_keep` (linear work), and
+    * the split itself is a hash of one column. */
+  def llmSplitNeardupSafe(spark: SparkSession, sfDir: String): DataFrame =
+    neardupSplitAssignments(spark, sfDir)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("keep_id").as("n_families"),
+        sum(col("is_dup").cast("long")).as("n_dups"))
+      .orderBy("split")
+
   /** token-position n-shingles as space-joined strings via SQL transform.
     * Documents with fewer than n tokens yield an empty array (unguarded,
     * sequence(0, size-n) would run DESCENDING for short docs and slice(_, 0,
@@ -826,6 +859,7 @@ object LlmText {
     "llm_dedup_exact" -> llmDedupExact,
     "llm_dedup_minhash" -> llmDedupMinhash,
     "llm_minhash_dedup_keep" -> llmMinhashDedupKeep,
+    "llm_split_neardup_safe" -> llmSplitNeardupSafe,
     "llm_jaccard_exact" -> llmJaccardExact,
     "llm_dedup_cluster" -> llmDedupCluster,
     "llm_ngram_jaccard" -> llmNgramJaccard,

@@ -169,6 +169,25 @@ class LlmSpec extends SparkSpec {
       s"pair listing must contain exactly the adjacent chain pairs, got $pairs")
   }
 
+  test("near-dup-safe split keeps families atomic and covers every doc") {
+    val a = LlmText.neardupSplitAssignments(spark, sf01).cache()
+    try {
+      // no family straddles subsets — the whole point of the operator
+      val straddlers = a.groupBy("keep_id")
+        .agg(countDistinct("split").as("n"))
+        .filter(col("n") > 1).count()
+      assert(straddlers == 0, s"$straddlers families straddle splits")
+      // every document is assigned exactly once
+      val nDocs = graft.Tables.documents(spark, sf01).count()
+      assert(a.count() == nDocs)
+      assert(a.select("doc_id").distinct().count() == nDocs)
+      // the 8/1/1 hash buckets land near 80/10/10 (wide band: family
+      // sizes make the split granularity families, not docs)
+      val frac = a.filter(col("split") === "train").count().toDouble / nDocs
+      assert(frac > 0.6 && frac < 0.95, s"train fraction $frac out of band")
+    } finally { a.unpersist(); () }
+  }
+
   test("simhash is local: near-dups differ in few bits, distinct docs in many") {
     val sh = LlmText.llmSimhash(spark, fixtureDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
