@@ -355,6 +355,30 @@ object Sinks {
       .orderBy("o_orderstatus", "l_linestatus")
   }
 
+  /** Schema evolution across snapshot generations — the read-side half of
+    * ADD COLUMN, the most common lakehouse schema change. Generation 1
+    * holds (o_orderkey, o_totalprice) for even keys; generation 2 (odd
+    * keys, disjoint) adds o_orderstatus. Reading both generations with
+    * `mergeSchema` unions the schemas BY NAME: generation-1 rows surface
+    * NULL for the added column, and no old file is rewritten — at 100 TB,
+    * rewriting history to add a column is exactly what a table format
+    * must avoid, so the new column must be back-fillable as NULL at read
+    * time. The DuckDB oracle replays the union with an explicit
+    * NULL-typed column on the old generation. */
+  def sinkSchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = s"${Scans.tmpRoot(spark)}/evolve"
+    val o = Tables.orders(spark, sfDir)
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$root/g1")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$root/g2")
+    spark.read.option("mergeSchema", "true").parquet(s"$root/g1", s"$root/g2")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sink_merge_upsert" -> sinkMergeUpsert,
     "sink_compaction" -> sinkCompaction,
@@ -362,6 +386,7 @@ object Sinks {
     "sink_time_travel" -> sinkTimeTravel,
     "sink_manifest_prune" -> sinkManifestPrune,
     "sink_bucketed_join" -> sinkBucketedJoin,
+    "sink_schema_evolution" -> sinkSchemaEvolution,
   )
 
   val oracles: Map[String, String] = Map(
@@ -416,6 +441,15 @@ object Sinks {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus, l_linestatus
         |ORDER BY o_orderstatus, l_linestatus""".stripMargin,
+    // generation-1 rows carry an explicitly NULL-typed o_orderstatus —
+    // the read-time backfill mergeSchema performs
+    "sink_schema_evolution" ->
+      """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY o_orderkey""".stripMargin,
     "sink_manifest_prune" ->
       """WITH b AS (SELECT min(o_orderkey) AS klo,
         |  min(o_orderkey) + (max(o_orderkey) - min(o_orderkey)) // 4 AS khi
