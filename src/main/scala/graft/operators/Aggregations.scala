@@ -130,11 +130,13 @@ object Aggregations {
   /** GROUPING SETS ((c_mktsegment), (n_name), ()) via Spark 4's native
     * `Dataset.groupingSets` (pre-4.0 the DataFrame API had no grouping-sets
     * method, making this the one forced SQL-parser entry). Grouping sets no
-    * longer need the parser; the repo's two surviving `spark.sql` query
-    * sites are deliberate: `aggRollup` above (documented workaround for the
+    * longer need the parser; the repo's surviving `spark.sql` query sites
+    * are deliberate: `aggRollup` above (documented workaround for the
     * DataFrame-API ambiguous-self-join misfire on rollup-over-join) and
-    * `Composite.sqlCorrelatedSubquery` (whose entire point is exercising the
-    * parser + Catalyst decorrelation). */
+    * the three Composite rows whose entire point is the SQL surface —
+    * `sqlCorrelatedSubquery` (decorrelation), `sqlRecursiveCte`
+    * (WITH RECURSIVE / UnionLoop), `sqlLateralJoin` (LATERAL + correlated
+    * ORDER BY/LIMIT). */
   def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir)
     val n = Tables.nation(spark, sfDir)

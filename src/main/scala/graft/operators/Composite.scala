@@ -95,6 +95,55 @@ object Composite {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Recursive CTE (Spark 4 `WITH RECURSIVE`, UnionLoop execution) — an
+    * iterative hierarchy walk INSIDE one SQL statement, where the engine
+    * loops until fixpoint instead of the caller scheduling rounds (the
+    * DataFrame-side analogue is LlmText.connectedComponents' driver loop).
+    * The hierarchy is the customer key-decade forest: keys < 10 are roots,
+    * and each key's parent is `key div 10` — dense custkeys make every
+    * parent present, and depth is ⌈log₁₀ N⌉, so the recursion runs ~7
+    * rounds on a BILLION-row dimension: depth, not data size, bounds the
+    * iteration count, and each round is one equi-join of the next decade
+    * ring against the previous level. Deliberately SQL (like
+    * sql_correlated_subquery) — the recursion surface IS the feature. */
+  def sqlRecursiveCte(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("rec_customer")
+    spark.sql(
+      """WITH RECURSIVE lvl(k, l, bal) AS (
+        |  SELECT c_custkey, 0, c_acctbal FROM rec_customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, lvl.l + 1, c.c_acctbal
+        |  FROM rec_customer c JOIN lvl ON c.c_custkey div 10 = lvl.k
+        |  WHERE c.c_custkey >= 10
+        |)
+        |SELECT CAST(l AS BIGINT) AS level, count(*) AS n_customers,
+        |  round(sum(bal), 2) AS sum_bal
+        |FROM lvl GROUP BY l ORDER BY level""".stripMargin)
+  }
+
+  /** LATERAL correlated subquery with ORDER BY + LIMIT — top-2 line items
+    * per supplier as a per-row dependent subquery. Catalyst decorrelates
+    * the lateral into a joined window-rank rather than executing the inner
+    * query per outer row, so the plan is one co-partitioned join + rank —
+    * the same shape a hand-written top-k-per-group takes — while the SQL
+    * stays the natural "for each supplier, its best rows" form. Ties are
+    * broken by (orderkey, linenumber) so both engines return identical
+    * rows. Deliberately SQL, like sql_correlated_subquery. */
+  def sqlLateralJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("lat_supplier")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lat_lineitem")
+    spark.sql(
+      """SELECT s.s_suppkey, t.price, t.okey, t.ln
+        |FROM lat_supplier s,
+        |LATERAL (SELECT l_extendedprice AS price, l_orderkey AS okey,
+        |                l_linenumber AS ln
+        |         FROM lat_lineitem
+        |         WHERE l_suppkey = s.s_suppkey
+        |         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |         LIMIT 2) t
+        |ORDER BY s_suppkey, price DESC, okey, ln""".stripMargin)
+  }
+
   /** Generator family beyond explode: posexplode_outer over a possibly-empty
     * array and inline over an array of structs. */
   def generatorFuncs(spark: SparkSession, sfDir: String): DataFrame = {
@@ -157,6 +206,8 @@ object Composite {
     "q10_returned_items" -> q10ReturnedItems,
     "q18_large_volume" -> q18LargeVolume,
     "sql_correlated_subquery" -> sqlCorrelatedSubquery,
+    "sql_recursive_cte" -> sqlRecursiveCte,
+    "sql_lateral_join" -> sqlLateralJoin,
     "generator_funcs" -> generatorFuncs,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_local_supplier" -> q5LocalSupplier,
@@ -189,6 +240,29 @@ object Composite {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_qty DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    // DuckDB's integer division is //, Spark's is div — the one dialect
+    // difference in this pair of recursion queries
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE lvl(k, l, bal) AS (
+        |  SELECT c_custkey, 0, c_acctbal FROM customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, lvl.l + 1, c.c_acctbal
+        |  FROM customer c JOIN lvl ON c.c_custkey // 10 = lvl.k
+        |  WHERE c.c_custkey >= 10
+        |)
+        |SELECT CAST(l AS BIGINT) AS level, count(*) AS n_customers,
+        |  round(sum(bal), 2) AS sum_bal
+        |FROM lvl GROUP BY l ORDER BY level""".stripMargin,
+    "sql_lateral_join" ->
+      """SELECT s.s_suppkey, t.price, t.okey, t.ln
+        |FROM supplier s,
+        |LATERAL (SELECT l_extendedprice AS price, l_orderkey AS okey,
+        |                l_linenumber AS ln
+        |         FROM lineitem
+        |         WHERE l_suppkey = s.s_suppkey
+        |         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |         LIMIT 2) t
+        |ORDER BY s_suppkey, price DESC, okey, ln""".stripMargin,
     "sql_correlated_subquery" ->
       """SELECT c_custkey, round(c_acctbal, 2) AS acctbal
         |FROM customer c
