@@ -138,6 +138,28 @@ object ScalarFuncs {
       .orderBy("event_type")
   }
 
+  /** Semi-structured props via Spark 4's VARIANT type — the engine-native
+    * successor to string-JSON paths: `parse_json` converts each props
+    * string ONCE into the binary variant encoding, and `variant_get`
+    * extracts typed fields from that encoding without re-parsing text —
+    * at 100 TB the difference between one parse per row and one parse
+    * per extraction, and the representation Delta/Iceberg's variant
+    * columns shred into. Same events.props field as `json_funcs` (that
+    * row keeps the classic from_json/get_json_object surface); the
+    * DuckDB oracle replays the extraction with its JSON functions since
+    * the VALUES are representation-independent. */
+  def jsonVariant(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("v", parse_json(col("props")))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
   /** Edit distance (levenshtein) against a reference key format. */
   def strDistance(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir)
@@ -176,6 +198,7 @@ object ScalarFuncs {
     "map_funcs" -> mapFuncs,
     "map_hof_funcs" -> mapHofFuncs,
     "json_funcs" -> jsonFuncs,
+    "json_variant" -> jsonVariant,
   )
 
   val oracles: Map[String, String] = Map(
@@ -266,6 +289,12 @@ object ScalarFuncs {
         |  true AS has_k,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_via_strmap
         |FROM events ORDER BY event_id""".stripMargin,
+    "json_variant" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "json_funcs" ->
       """SELECT event_type,
         |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
