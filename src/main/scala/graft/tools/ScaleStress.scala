@@ -74,8 +74,13 @@ object ScaleStress {
     // round 10: the two layout-technique operators — bucketed co-located
     // join (re-runs both bucketed writes per invocation, so its ratio
     // bounds write+join) and dynamic partition pruning (partitioned write
-    // + runtime-pruned star join)
-    "sink_bucketed_join", "source_dpp_prune")
+    // + runtime-pruned star join) — plus the three engine-surface rows
+    // whose scale shapes are worth holding to a ratio: the decorrelated
+    // LATERAL (window-rank over the fact table), the recursive CTE
+    // (log10-depth iteration), and the VARIANT parse (per-row binary
+    // encode + typed extraction)
+    "sink_bucketed_join", "source_dpp_prune",
+    "sql_lateral_join", "sql_recursive_cte", "json_variant")
 
   /** Per-query sweep ceilings for operators whose work is super-linear BY
     * DECLARATION, so running them at every scale proves nothing new and
