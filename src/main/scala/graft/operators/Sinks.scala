@@ -324,7 +324,12 @@ object Sinks {
     * this is the difference between re-shuffling the fact table per join
     * and reading co-located buckets in place; bucket count would be
     * thousands there (8 here, sized to the test SFs — the technique, not
-    * the constant, is the claim). The merge hint pins the strategy so the
+    * the constant, is the claim). Measured (round 10, x100 subset sweep):
+    * 32 buckets lands 13.5 s vs 8 buckets' 13.8–14.6 s band — bucket
+    * count does NOT gate the bucketed WRITE's parallelism (each input
+    * task writes its own buckets' files, so the write runs at input
+    * parallelism either way) and the 8-vs-32-partition join is minor next
+    * to the write, so the constant stays at the file-count-friendly 8. The merge hint pins the strategy so the
     * small test-SF sides don't take the broadcast path that would hide
     * the co-location. BucketingSpec asserts the physical claim (no
     * Exchange below the join); the DuckDB oracle checks the logical one
