@@ -80,7 +80,10 @@ object ScaleStress {
     // (log10-depth iteration), and the VARIANT parse (per-row binary
     // encode + typed extraction)
     "sink_bucketed_join", "source_dpp_prune",
-    "sql_lateral_join", "sql_recursive_cte", "json_variant")
+    "sql_lateral_join", "sql_recursive_cte", "json_variant",
+    // the near-dup-safe split shares the keep query's star-edge + CC
+    // machinery; swept so the family's scale story covers it directly
+    "llm_split_neardup_safe")
 
   /** Per-query sweep ceilings for operators whose work is super-linear BY
     * DECLARATION, so running them at every scale proves nothing new and
