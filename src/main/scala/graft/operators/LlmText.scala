@@ -179,6 +179,81 @@ object LlmText {
       .orderBy("doc_id")
   }
 
+  /** BPE merge induction — tokenizer TRAINING, the canonical preprocessing
+    * step every LLM corpus pipeline runs once per vocabulary. Returns the
+    * first `k` byte-pair merges (rank, left, right, merged, pair_freq)
+    * learned from the corpus.
+    *
+    * Shape, which is what matters at 100 TB: the corpus is touched ONCE
+    * (explode→groupBy word frequency); every merge round then operates on
+    * the WORD-FREQUENCY table, whose size is the distinct-word vocabulary
+    * (31 here, millions on a web corpus — ≪ corpus either way), exactly
+    * how production BPE trainers work. The k-round driver loop is
+    * intrinsic to the algorithm — merge i+1's pair counts depend on merge
+    * i having been applied — and each round is one flatMap+groupBy over
+    * the vocab table plus ONE bounded argmax collect (a 1-row planning
+    * scalar, tie-broken (freq desc, left, right) so the merge sequence is
+    * total-order deterministic and rerun-stable). Sequences re-merge via
+    * a typed map (per-row imperative array fold — genuine mapPartitions
+    * territory, not a udf). No oracle: the argmax-dependent iteration
+    * isn't expressible as one replayable SQL statement; LlmSpec pins a
+    * hand-computed fixture (known merge sequence), determinism across
+    * reruns, and the real-corpus row count. */
+  def bpeMerges(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val words = docs(spark, sfDir)
+      .select(explode(split(col("norm"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+    bpeFromWordFreqs(spark, words, k)
+  }
+
+  /** The trainer kernel over an arbitrary (word, freq) table — separated so
+    * the spec can feed a hand-computed fixture vocabulary. */
+  private[graft] def bpeFromWordFreqs(spark: SparkSession,
+      words: org.apache.spark.sql.Dataset[(String, Long)], k: Int): DataFrame = {
+    import spark.implicits._
+    def applyMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+    var seqs: org.apache.spark.sql.Dataset[(Seq[String], Long)] =
+      words.map { case (w, f) => (w.map(_.toString): Seq[String], f) }.cache()
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    var rank = 1
+    var exhausted = false
+    while (rank <= k && !exhausted) {
+      val top = seqs.flatMap { case (syms, f) =>
+        if (syms.length < 2) Iterator.empty
+        else syms.iterator.zip(syms.iterator.drop(1)).map(p => (p._1, p._2, f))
+      }.toDF("l", "r", "f")
+        .groupBy("l", "r").agg(sum("f").as("cnt"))
+        .orderBy(desc("cnt"), asc("l"), asc("r")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank.toLong, l, r, l + r, c))
+        val next = seqs.map { case (syms, f) => (applyMerge(syms, l, r), f) }.cache()
+        next.count()
+        seqs.unpersist()
+        seqs = next
+        rank += 1
+      }
+    }
+    seqs.unpersist()
+    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_freq")
+      .orderBy("rank")
+  }
+
+  def llmBpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    bpeMerges(spark, sfDir, 10)
+
   /** Doc-level split assignment keyed by near-dup FAMILY (private: the
     * public query aggregates; the spec asserts atomicity on this frame).
     * Split = hash bucket of keep_id, the family's connected-component
@@ -860,6 +935,7 @@ object LlmText {
     "llm_dedup_minhash" -> llmDedupMinhash,
     "llm_minhash_dedup_keep" -> llmMinhashDedupKeep,
     "llm_split_neardup_safe" -> llmSplitNeardupSafe,
+    "llm_bpe_merges" -> llmBpeMerges,
     "llm_jaccard_exact" -> llmJaccardExact,
     "llm_dedup_cluster" -> llmDedupCluster,
     "llm_ngram_jaccard" -> llmNgramJaccard,

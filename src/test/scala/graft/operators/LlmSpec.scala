@@ -188,6 +188,31 @@ class LlmSpec extends SparkSpec {
     } finally { a.unpersist(); () }
   }
 
+  test("BPE trainer learns the hand-computed merge sequence on a fixture vocab") {
+    import spark.implicits._
+    // vocab: "aab"×3, "ab"×2. Round 1 pairs: (a,a)=3, (a,b)=3+2=5 → merge
+    // (a,b)→"ab" freq 5. After: aab→[a,ab], ab→[ab]. Round 2 pairs:
+    // (a,ab)=3 → merge (a,ab)→"aab" freq 3. Round 3: no pairs left.
+    val words = Seq(("aab", 3L), ("ab", 2L)).toDS()
+    val got = LlmText.bpeFromWordFreqs(spark, words, 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq((1L, "a", "b", "ab", 5L), (2L, "a", "ab", "aab", 3L)),
+      s"got $got")
+  }
+
+  test("BPE merges on the real corpus are 10, distinct, and rerun-stable") {
+    val a = LlmText.llmBpeMerges(spark, sf001).collect().toSeq
+    val b = LlmText.llmBpeMerges(spark, sf001).collect().toSeq
+    assert(a.size == 10, s"expected 10 merges, got ${a.size}")
+    assert(a.map(_.getString(3)).distinct.size == 10, "merged symbols must be distinct")
+    assert(a == b, "merge sequence must be rerun-stable")
+    // each merge's pair frequency is non-increasing-ish is NOT guaranteed
+    // (later merges can create high-frequency pairs), but every frequency
+    // must be positive
+    assert(a.forall(_.getLong(4) > 0))
+  }
+
   test("simhash is local: near-dups differ in few bits, distinct docs in many") {
     val sh = LlmText.llmSimhash(spark, fixtureDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
