@@ -83,7 +83,11 @@ object ScaleStress {
     "sql_lateral_join", "sql_recursive_cte", "json_variant",
     // the near-dup-safe split shares the keep query's star-edge + CC
     // machinery; swept so the family's scale story covers it directly
-    "llm_split_neardup_safe")
+    "llm_split_neardup_safe",
+    // BPE training: merge rounds operate on the vocabulary table, so only
+    // the initial word-count scan should grow with the corpus — the sweep
+    // holds the claim to a near-flat ratio
+    "llm_bpe_merges")
 
   /** Per-query sweep ceilings for operators whose work is super-linear BY
     * DECLARATION, so running them at every scale proves nothing new and
