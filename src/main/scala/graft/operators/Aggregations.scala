@@ -88,6 +88,31 @@ object Aggregations {
       .orderBy("n_days")
   }
 
+  /** MERGEABLE KLL quantile sketches — the percentile analogue of
+    * agg_hll_merge, and the distributed-percentile primitive at 100 TB:
+    * exact percentiles need a global sort (or per-group collect), but a
+    * KLL sketch is a few KB with a PROVEN rank-error bound and, crucially,
+    * a lossless-error MERGE — so each day (or partition, or incremental
+    * batch) sketches its own values once, and any cross-day percentile is
+    * a union of sketches, never a re-scan of raw events. Spark 4 ships the
+    * Datasketches KLL family natively (`kll_sketch_agg_double` /
+    * `kll_merge_agg_double` / `kll_sketch_get_quantile_double`), so both
+    * levels stay partial-aggregate-friendly codegen'd expressions. No
+    * oracle (sketch internals are engine-specific); the spec asserts the
+    * merged p50/p90 land within 2% of the exact percentiles over all
+    * events and within KLL's rank-error band. */
+  def aggQuantileMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts_ntz")).as("day"))
+      .agg(expr("kll_sketch_agg_double(value)").as("sk"))
+    daily
+      .agg(count(lit(1)).as("n_days"),
+        expr("kll_merge_agg_double(sk)").as("m"))
+      .select(col("n_days"),
+        round(expr("kll_sketch_get_quantile_double(m, 0.5)"), 4).as("p50_est"),
+        round(expr("kll_sketch_get_quantile_double(m, 0.9)"), 4).as("p90_est"))
+  }
+
   private def starRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
     val c = Tables.customer(spark, sfDir)
@@ -130,13 +155,15 @@ object Aggregations {
   /** GROUPING SETS ((c_mktsegment), (n_name), ()) via Spark 4's native
     * `Dataset.groupingSets` (pre-4.0 the DataFrame API had no grouping-sets
     * method, making this the one forced SQL-parser entry). Grouping sets no
-    * longer need the parser; the repo's surviving `spark.sql` query sites
-    * are deliberate: `aggRollup` above (documented workaround for the
-    * DataFrame-API ambiguous-self-join misfire on rollup-over-join) and
-    * the three Composite rows whose entire point is the SQL surface —
-    * `sqlCorrelatedSubquery` (decorrelation), `sqlRecursiveCte`
-    * (WITH RECURSIVE / UnionLoop), `sqlLateralJoin` (LATERAL + correlated
-    * ORDER BY/LIMIT). */
+    * longer need the parser; the repo's surviving `spark.sql` QUERY-
+    * EXPRESSION sites are deliberate: `aggRollup` above (documented
+    * workaround for the DataFrame-API ambiguous-self-join misfire on
+    * rollup-over-join) and the three Composite rows whose entire point is
+    * the SQL surface — `sqlCorrelatedSubquery` (decorrelation),
+    * `sqlRecursiveCte` (WITH RECURSIVE / UnionLoop), `sqlLateralJoin`
+    * (LATERAL + correlated ORDER BY/LIMIT). (Sinks.sinkBucketedJoin also
+    * calls `spark.sql` twice, but for `DROP TABLE IF EXISTS` catalog DDL,
+    * not query expressions.) */
   def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir)
     val n = Tables.nation(spark, sfDir)
@@ -335,6 +362,7 @@ object Aggregations {
     "agg_distinct_exact" -> aggDistinctExact,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_hll_merge" -> aggHllMerge,
+    "agg_quantile_merge" -> aggQuantileMerge,
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,

@@ -133,7 +133,7 @@ object Composite {
     Tables.supplier(spark, sfDir).createOrReplaceTempView("lat_supplier")
     Tables.lineitem(spark, sfDir).createOrReplaceTempView("lat_lineitem")
     spark.sql(
-      """SELECT s.s_suppkey, t.price, t.okey, t.ln
+      """SELECT s.s_suppkey, round(t.price, 2) AS price, t.okey, t.ln
         |FROM lat_supplier s,
         |LATERAL (SELECT l_extendedprice AS price, l_orderkey AS okey,
         |                l_linenumber AS ln
@@ -254,7 +254,7 @@ object Composite {
         |  round(sum(bal), 2) AS sum_bal
         |FROM lvl GROUP BY l ORDER BY level""".stripMargin,
     "sql_lateral_join" ->
-      """SELECT s.s_suppkey, t.price, t.okey, t.ln
+      """SELECT s.s_suppkey, round(t.price, 2) AS price, t.okey, t.ln
         |FROM supplier s,
         |LATERAL (SELECT l_extendedprice AS price, l_orderkey AS okey,
         |                l_linenumber AS ln

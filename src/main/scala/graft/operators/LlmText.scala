@@ -210,19 +210,36 @@ object LlmText {
 
   /** The trainer kernel over an arbitrary (word, freq) table — separated so
     * the spec can feed a hand-computed fixture vocabulary. */
+  /** Apply ONE merge rule (l,r)→"lr" exhaustively left-to-right over a
+    * symbol sequence — THE shared kernel of BPE training and encoding
+    * (llm_bpe_merges applies it per round; llm_bpe_encode folds the learned
+    * table through it), so trainer and encoder cannot drift. Object-level
+    * and closure-free: lambdas calling it load the module statically at
+    * execution time, nothing is captured. */
+  private[graft] def applyMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Encode one word under a rank-ordered merge table: characters, then
+    * each merge applied exhaustively in rank order. One fold suffices:
+    * merging never makes two PRE-EXISTING symbols newly adjacent (the
+    * merged symbol sits between its former neighbors), so a lower-rank
+    * pair can never reappear after a higher-rank merge runs. */
+  private[graft] def encodeWord(w: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(w.map(_.toString): Seq[String]) {
+      case (syms, (l, r)) => applyMerge(syms, l, r)
+    }
+
   private[graft] def bpeFromWordFreqs(spark: SparkSession,
       words: org.apache.spark.sql.Dataset[(String, Long)], k: Int): DataFrame = {
     import spark.implicits._
-    def applyMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
-      val out = scala.collection.mutable.ArrayBuffer[String]()
-      var i = 0
-      while (i < syms.length) {
-        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-          out += (l + r); i += 2
-        } else { out += syms(i); i += 1 }
-      }
-      out.toSeq
-    }
     var seqs: org.apache.spark.sql.Dataset[(Seq[String], Long)] =
       words.map { case (w, f) => (w.map(_.toString): Seq[String], f) }.cache()
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
@@ -253,6 +270,47 @@ object LlmText {
 
   def llmBpeMerges(spark: SparkSession, sfDir: String): DataFrame =
     bpeMerges(spark, sfDir, 10)
+
+  /** BPE ENCODE — the apply half of train→apply: the learned merge table
+    * (llm_bpe_merges, k=10) folded over the corpus via the SAME
+    * `applyMerge` kernel the trainer uses, yielding per-doc token count,
+    * word/char totals and chars-per-token compression.
+    *
+    * Shape at 100 TB: the merge table is a ≤k-row driver value (a bounded
+    * planning scalar, same class as the trainer's per-round argmax) carried
+    * INSIDE the closure — vocabulary-sized, never corpus-sized. Encoding
+    * runs once per DISTINCT word (one groupBy over the exploded corpus —
+    * the vocabulary table, ≪ corpus), and per-doc totals come from a
+    * broadcast join of corpus words against that encoded vocabulary: the
+    * corpus is touched twice (explode, join), the per-word re-merge fold
+    * |vocab| times. No oracle: the token counts depend on the learned
+    * merge sequence, which is the trainer's argmax iteration — not
+    * expressible as one replayable SQL statement. Round11OpsSpec pins a
+    * hand-computed fixture encoding, trainer↔encoder consistency on the
+    * trainer's own fixture vocab, per-doc bounds and rerun stability. */
+  def llmBpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    // bounded collect: the learned merge table, ≤ 10 rows by construction
+    val merges = bpeMerges(spark, sfDir, 10).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeEncodeWith(spark, docs(spark, sfDir), merges)
+  }
+
+  /** The encoder over an arbitrary (doc_id, norm) frame + merge table —
+    * separated so the spec can feed fixture docs and fixture merges. */
+  private[graft] def bpeEncodeWith(spark: SparkSession, docsDf: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val words = docsDf.select(col("doc_id"), explode(split(col("norm"), " ")).as("w"))
+    val vocab = words.select("w").distinct().as[String]
+      .map(w => (w, encodeWord(w, merges).length.toLong, w.length.toLong))
+      .toDF("w2", "w_tokens", "w_chars")
+    words.join(broadcast(vocab), col("w") === col("w2"))
+      .groupBy("doc_id")
+      .agg(sum("w_tokens").as("n_tokens"), sum("w_chars").as("n_chars"),
+        count(lit(1)).as("n_words"))
+      .withColumn("chars_per_token", round(col("n_chars") / col("n_tokens"), 4))
+      .orderBy("doc_id")
+  }
 
   /** Doc-level split assignment keyed by near-dup FAMILY (private: the
     * public query aggregates; the spec asserts atomicity on this frame).
@@ -936,6 +994,7 @@ object LlmText {
     "llm_minhash_dedup_keep" -> llmMinhashDedupKeep,
     "llm_split_neardup_safe" -> llmSplitNeardupSafe,
     "llm_bpe_merges" -> llmBpeMerges,
+    "llm_bpe_encode" -> llmBpeEncode,
     "llm_jaccard_exact" -> llmJaccardExact,
     "llm_dedup_cluster" -> llmDedupCluster,
     "llm_ngram_jaccard" -> llmNgramJaccard,

@@ -28,6 +28,10 @@ private[graft] final class ServingMemo(cap: Int) {
         if (this.size() > cap) { e.getValue.unpersist(); true } else false
     }
 
+  // NOTE: `build` runs while the map lock is held. Today every caller's
+  // build is a lazy plan construction (no Spark job), so the hold time is
+  // microseconds — a build that RUNS a job (e.g. an eager count/persist)
+  // would serialize all memo access behind it and must not be introduced.
   def get(spark: SparkSession, sfDir: String)(build: => DataFrame): DataFrame =
     m.synchronized {
       val it = m.entrySet().iterator()

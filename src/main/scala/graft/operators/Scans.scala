@@ -128,7 +128,10 @@ object Scans {
     * the physical claim (dynamicpruningexpression present in the fact
     * scan's PartitionFilters). */
   def sourceDppPrune(spark: SparkSession, sfDir: String): DataFrame = {
-    val tmp = s"${tmpRoot(spark)}/dpp_orders"
+    // per-sfDir subdir (as sinkBucketedJoin): the returned DataFrame reads
+    // this path lazily, so a shared dir would rebind an earlier sfDir's
+    // plan to the latest data in multi-dataset sessions (ScaleStress)
+    val tmp = s"${tmpRoot(spark)}/dpp_orders_${math.abs(sfDir.hashCode)}"
     Tables.orders(spark, sfDir)
       .withColumn("o_year", year(col("o_orderdate")))
       .write.mode("overwrite").partitionBy("o_year").parquet(tmp)

@@ -371,7 +371,10 @@ object Sinks {
     * time. The DuckDB oracle replays the union with an explicit
     * NULL-typed column on the old generation. */
   def sinkSchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
-    val root = s"${Scans.tmpRoot(spark)}/evolve"
+    // per-sfDir subdir (as sinkBucketedJoin): the returned DataFrame reads
+    // these paths lazily, so a shared dir would rebind an earlier sfDir's
+    // plan to the latest data in multi-dataset sessions (ScaleStress)
+    val root = s"${Scans.tmpRoot(spark)}/evolve_${math.abs(sfDir.hashCode)}"
     val o = Tables.orders(spark, sfDir)
     o.filter(col("o_orderkey") % 2 === 0)
       .select("o_orderkey", "o_totalprice")
@@ -384,6 +387,86 @@ object Sinks {
       .orderBy("o_orderkey")
   }
 
+  /** File count for the deletion-vector table's immutable data files. */
+  private[operators] val DvFiles = 8
+
+  /** The deterministic DELETE predicate — ~1% of rows, spread across every
+    * file so each data file gets a non-trivial deletion vector. */
+  private[operators] def dvDeletePredicate: Column = col("l_orderkey") % 97 === 3
+
+  /** Per-sfDir root for the DV table (the returned DataFrame reads these
+    * paths lazily — see sinkSchemaEvolution's rebinding note). */
+  private[operators] def dvRoot(spark: SparkSession, sfDir: String): String =
+    s"${Scans.tmpRoot(spark)}/dv_${math.abs(sfDir.hashCode)}"
+
+  /** Step 1 — the immutable data files. Written once; the DELETE below
+    * never touches them again (the spec snapshots (name, length, mtime)
+    * here and re-asserts after the delete + read). */
+  private[operators] def dvWriteData(spark: SparkSession, sfDir: String): String = {
+    val root = dvRoot(spark, sfDir)
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .repartitionByRange(DvFiles, col("l_orderkey"))
+      .write.mode("overwrite").parquet(s"$root/data")
+    root
+  }
+
+  /** The data scan with its merge-on-read identity attached: Spark's
+    * parquet `_metadata` hidden columns supply exactly the (file, row
+    * position) coordinate a positional deletion vector addresses — no
+    * synthetic id column needs to be baked into the data files. */
+  private def dvScan(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/data")
+      .select(col("_metadata.file_path").as("_f"),
+        col("_metadata.row_index").as("_pos"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+
+  /** Step 2 — DELETE as a deletion-vector SIDECAR write: one parquet row
+    * per data file holding the sorted row positions the predicate kills.
+    * The job is a filter + groupBy over the scan (predicate and the two
+    * metadata columns prune to a narrow read); NOTHING under data/ is
+    * rewritten — at 100 TB that is the whole point: a 0.01%-selectivity
+    * GDPR delete costs O(matching rows) sidecar bytes, not a rewrite of
+    * every touched multi-GB file. */
+  private[operators] def dvDelete(spark: SparkSession, root: String): Unit =
+    dvScan(spark, root)
+      .filter(dvDeletePredicate)
+      .groupBy(col("_f"))
+      .agg(sort_array(collect_list(col("_pos"))).as("del_pos"))
+      .write.mode("overwrite").parquet(s"$root/dv")
+
+  /** Step 3 — the merge-on-read scan: LEFT ANTI join of the data scan's
+    * (file, position) coordinates against the exploded deletion vectors.
+    * The DV side is O(deleted rows) — tiny next to the data — so AQE
+    * broadcasts it and the read stays a single pass over the data files;
+    * with per-file bitmap application (what table formats do inside the
+    * reader) this is the same join, pushed into the scan. */
+  private[operators] def dvRead(spark: SparkSession, root: String): DataFrame = {
+    val dv = spark.read.parquet(s"$root/dv")
+      .select(col("_f").as("_df"), explode(col("del_pos")).as("_dpos"))
+    dvScan(spark, root)
+      .join(dv, col("_f") === col("_df") && col("_pos") === col("_dpos"), "left_anti")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity"), 2).as("qty"),
+        round(col("l_extendedprice"), 2).as("price"))
+  }
+
+  /** Row-level DELETE via positional deletion vectors — the merge-on-read
+    * maintenance primitive (Iceberg v2 / Delta DVs): lineitem written as
+    * `DvFiles` immutable files, the delete materialized as a per-file
+    * sorted-position sidecar, and the read answering as if the rows were
+    * gone WITHOUT any data file being rewritten. The DuckDB oracle checks
+    * the logical claim (result ≡ plain `WHERE NOT predicate` over the
+    * table); Round11OpsSpec asserts the physical one (data-file bytes and
+    * mtimes unchanged across delete + read, DV entries == deleted rows —
+    * not observable from SQL). */
+  def sinkDeleteVectors(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = dvWriteData(spark, sfDir)
+    dvDelete(spark, root)
+    dvRead(spark, root).orderBy("l_orderkey", "l_linenumber")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sink_merge_upsert" -> sinkMergeUpsert,
     "sink_compaction" -> sinkCompaction,
@@ -392,6 +475,7 @@ object Sinks {
     "sink_manifest_prune" -> sinkManifestPrune,
     "sink_bucketed_join" -> sinkBucketedJoin,
     "sink_schema_evolution" -> sinkSchemaEvolution,
+    "sink_delete_vectors" -> sinkDeleteVectors,
   )
 
   val oracles: Map[String, String] = Map(
@@ -455,6 +539,15 @@ object Sinks {
         |SELECT o_orderkey, o_totalprice, o_orderstatus
         |FROM orders WHERE o_orderkey % 2 = 1
         |ORDER BY o_orderkey""".stripMargin,
+    // logical half of the DV delete: a plain NOT-predicate filter over the
+    // table (the physical zero-rewrite half is spec-gated — file mtimes
+    // aren't observable from SQL)
+    "sink_delete_vectors" ->
+      """SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS qty,
+        |  round(l_extendedprice, 2) AS price
+        |FROM lineitem
+        |WHERE NOT (l_orderkey % 97 = 3)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "sink_manifest_prune" ->
       """WITH b AS (SELECT min(o_orderkey) AS klo,
         |  min(o_orderkey) + (max(o_orderkey) - min(o_orderkey)) // 4 AS khi
