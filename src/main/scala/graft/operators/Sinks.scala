@@ -467,6 +467,48 @@ object Sinks {
     dvRead(spark, root).orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** File count for the clustered copy — same sizing note as DvFiles. */
+  private[operators] val ClusterFiles = 8
+
+  /** The clustered copy: lineitem rewritten range-partitioned + sorted on
+    * the AGGREGATION key. Narrow projection (the three agg inputs), so the
+    * rewrite cost is the clustered columns, not the full table. */
+  private[operators] def clusteredCopy(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = s"${Scans.tmpRoot(spark)}/clustered_${math.abs(sfDir.hashCode)}"
+    Tables.lineitem(spark, sfDir)
+      .select("l_suppkey", "l_extendedprice", "l_discount")
+      .repartitionByRange(ClusterFiles, col("l_suppkey"))
+      .sortWithinPartitions("l_suppkey")
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+  }
+
+  /** The per-supplier revenue aggregate both layouts answer identically. */
+  private[operators] def supplierRevenue(li: DataFrame): DataFrame =
+    li.groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("l_suppkey")
+
+  /** Write-time clustering as an operator-level claim — the round-10 q21
+    * diagnosis turned into a sink: on key-scattered layout every scan
+    * partition sees nearly every group key, so the PARTIAL aggregate's
+    * output is ~(partitions × groups) and the map-side combine collapses
+    * (SCALE.md measured that as q21's 2× floor shift on the regenerated
+    * scattered testdata, with a clustered-copy control recovering it).
+    * Rewriting the fact table range-partitioned + sorted on the
+    * aggregation key bounds each partition to a disjoint key range, so
+    * partial-agg output shrinks to ~groups and every later groupBy on the
+    * key rides it — the write-once/combine-forever layout decision, same
+    * family as sink_compaction/sink_zorder but aimed at aggregation
+    * instead of scan pruning. The oracle checks the logical half (agg over
+    * the clustered copy ≡ agg over raw lineitem); Round11OpsSpec asserts
+    * the physical mechanism (per-partition distinct-key proxy shrinks ≥2×
+    * vs a hash-scattered layout, exact file count). */
+  def sinkClusteredWrite(spark: SparkSession, sfDir: String): DataFrame =
+    supplierRevenue(clusteredCopy(spark, sfDir))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sink_merge_upsert" -> sinkMergeUpsert,
     "sink_compaction" -> sinkCompaction,
@@ -476,6 +518,7 @@ object Sinks {
     "sink_bucketed_join" -> sinkBucketedJoin,
     "sink_schema_evolution" -> sinkSchemaEvolution,
     "sink_delete_vectors" -> sinkDeleteVectors,
+    "sink_clustered_write" -> sinkClusteredWrite,
   )
 
   val oracles: Map[String, String] = Map(
@@ -539,6 +582,14 @@ object Sinks {
         |SELECT o_orderkey, o_totalprice, o_orderstatus
         |FROM orders WHERE o_orderkey % 2 = 1
         |ORDER BY o_orderkey""".stripMargin,
+    // logical half of the clustered write: the same aggregate over raw
+    // lineitem (the physical partial-agg-shrink half is spec-gated)
+    "sink_clustered_write" ->
+      """SELECT l_suppkey, count(*) AS n_lines,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |GROUP BY l_suppkey
+        |ORDER BY l_suppkey""".stripMargin,
     // logical half of the DV delete: a plain NOT-predicate filter over the
     // table (the physical zero-rewrite half is spec-gated — file mtimes
     // aren't observable from SQL)

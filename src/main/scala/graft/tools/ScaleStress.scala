@@ -87,7 +87,16 @@ object ScaleStress {
     // BPE training: merge rounds operate on the vocabulary table, so only
     // the initial word-count scan should grow with the corpus — the sweep
     // holds the claim to a near-flat ratio
-    "llm_bpe_merges")
+    "llm_bpe_merges",
+    // round 11: deletion-vector DELETE (write + sidecar build + merge-on-
+    // read — every stage linear in rows, the DV side O(deleted)), BPE
+    // ENCODE (near-flat training + once-per-distinct-word encode + linear
+    // rejoin), and the mergeable KLL quantile rollup (two-level partial
+    // aggregate, sketch-sized state)
+    "sink_delete_vectors", "llm_bpe_encode", "agg_quantile_merge",
+    // write-time clustering: narrow-projection range rewrite + the agg it
+    // accelerates — the ratio bounds write + combine-friendly aggregate
+    "sink_clustered_write")
 
   /** Per-query sweep ceilings for operators whose work is super-linear BY
     * DECLARATION, so running them at every scale proves nothing new and

@@ -83,6 +83,32 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("clustered write shrinks the partial-aggregate key footprint >= 2x") {
+    // proxy for the partial aggregate's output size: one row per distinct
+    // (scan partition, group key) pair — exactly what a hash partial agg
+    // emits (modulo spill). Clustered layout bounds it to ~groups; a
+    // key-scattered layout pays ~partitions x groups (the q21 mechanism).
+    def partialFootprint(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(spark_partition_id().as("p"), col("l_suppkey"))
+        .distinct().count()
+    val clustered = Sinks.clusteredCopy(spark, sf01)
+    val scattered = Tables.lineitem(spark, sf01)
+      .select("l_suppkey", "l_extendedprice", "l_discount")
+      .repartition(Sinks.ClusterFiles)
+    val nKeys = Tables.lineitem(spark, sf01).select("l_suppkey").distinct().count()
+    val cf = partialFootprint(clustered)
+    val sf = partialFootprint(scattered)
+    // range files hold disjoint key ranges: at most one straddler per cut
+    assert(cf <= nKeys + Sinks.ClusterFiles - 1,
+      s"clustered footprint $cf exceeds keys $nKeys + cuts")
+    assert(sf >= 2 * cf, s"scattered footprint $sf not >= 2x clustered $cf")
+    // both layouts answer the aggregate identically (oracle re-checks vs
+    // DuckDB; this is the in-engine A/B)
+    val a = Sinks.supplierRevenue(clustered).collect().toSeq
+    val b = Sinks.supplierRevenue(scattered).collect().toSeq
+    assert(a == b, "clustered and scattered layouts must agree")
+  }
+
   test("merged KLL quantiles land within 2% of exact p50/p90") {
     val row = Aggregations.aggQuantileMerge(spark, sf001).collect()(0)
     assert(row.getLong(0) > 1, "need >1 day for the merge to be meaningful")
