@@ -113,6 +113,45 @@ object Aggregations {
         round(expr("kll_sketch_get_quantile_double(m, 0.9)"), 4).as("p90_est"))
   }
 
+  /** CMS parameters — fixed across every sketch so merges are compatible
+    * and deterministic (counters are order-independent sums). */
+  private val CmsEps = 0.001
+  private val CmsConf = 0.99
+  private val CmsSeed = 42
+
+  /** MERGEABLE Count-Min sketches — the heavy-hitter / point-frequency
+    * analogue of agg_hll_merge (distinct counts) and agg_quantile_merge
+    * (percentiles), completing the mergeable-sketch family: each month
+    * pre-aggregates its order stream into a CMS (a fixed ~KB counter grid
+    * regardless of cardinality), and any cross-month frequency question is
+    * answered from a MERGE of sketches — never a re-scan of raw orders.
+    * Unlike HLL/KLL the merge here is EXACT (counter addition), so the
+    * merged estimate is bit-identical to a single global sketch — the
+    * property that makes per-partition sketching free at 100 TB, asserted
+    * by Round11OpsSpec. The probes are the exact top-5 customers by order
+    * count (TakeOrdered — distributed, deterministic ties by key); output
+    * compares the sketch estimate against the exact count, spec-bounded by
+    * CMS's one-sided guarantee: true ≤ est ≤ true + eps·N. No oracle
+    * (sketch bytes are engine-specific); agg_freq_items is the
+    * deterministic-oracle heavy-hitter row. */
+  def aggCmsMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val monthly = o
+      .groupBy(trunc(col("o_orderdate"), "month").as("month"))
+      .agg(expr(s"count_min_sketch(o_custkey, ${CmsEps}d, ${CmsConf}d, $CmsSeed)").as("sk"))
+    val cmsMerge = udaf(graft.functions.CmsMergeAgg)
+    val merged = monthly.agg(count(lit(1)).as("n_months"),
+      cmsMerge(col("sk")).as("sk"))
+    val top = o.groupBy("o_custkey").agg(count(lit(1)).as("true_cnt"))
+      .orderBy(desc("true_cnt"), asc("o_custkey")).limit(5)
+    val est = udf((sk: Array[Byte], key: Long) =>
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(sk).estimateCount(key))
+    Fanout.broadcastAll(top, merged, col("o_custkey"), col("n_months"))
+      .select(col("o_custkey"), col("true_cnt"), col("n_months"),
+        est(col("sk"), col("o_custkey")).as("est"))
+      .orderBy("o_custkey")
+  }
+
   private def starRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
     val c = Tables.customer(spark, sfDir)
@@ -363,6 +402,7 @@ object Aggregations {
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_hll_merge" -> aggHllMerge,
     "agg_quantile_merge" -> aggQuantileMerge,
+    "agg_cms_merge" -> aggCmsMerge,
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,

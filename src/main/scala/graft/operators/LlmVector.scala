@@ -181,6 +181,45 @@ object LlmVector {
       .orderBy("a", "b")
   }
 
+  /** Semantic-dedup drop threshold — tuned to this corpus exactly like
+    * llm_embed_neardup's 0.45 (max within-label cosine ≈ 0.47 at sf0.01):
+    * a threshold no pair reaches would make the query vacuously green. */
+  private val SemDedupTau = 0.45
+
+  /** Semantic (embedding-space) near-duplicate PRUNING — the SemDeDup
+    * recipe (Abbas et al. 2023): cluster the corpus coarsely, then inside
+    * each cluster drop every document whose embedding sits within cosine
+    * `SemDedupTau` of another cluster member, keeping one representative.
+    * Unlike `llm_embed_neardup` (which LISTS pairs inside label blocks),
+    * this emits the KEPT corpus — the operator a training pipeline actually
+    * runs — and blocks by the IVF coarse cell (`cellAssigned`: label ×
+    * sign-projection bucket), the same corpus-tracking key the ANN index
+    * uses: cell count grows with N at ~512 rows/cell, so within-cell pair
+    * work stays ~linear at 100 TB where a fixed blocking key would go
+    * quadratic. Drop rule: x is dropped iff SOME smaller-id y in its cell
+    * has cos(x, y) ≥ τ — the same min-id star rule as
+    * llm_minhash_dedup_keep, with the same declared trade (y itself may be
+    * dropped by a yet-smaller z; transitive chains collapse to the chain
+    * min). Deterministic (parity-exact dots, total-order ids), hence
+    * oracle-checkable: DuckDB replays cell assignment + the EXISTS drop
+    * rule verbatim. Plan shape: one equi-self-join on vcell (shuffled hash
+    * / SMJ on the cell key) + one anti-join on vec_id — never all pairs. */
+  def llmSemdedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = cellAssigned(spark, sfDir)
+    // fresh lineage for the right side (same pattern as llmEmbedNeardup) —
+    // renamed projections over one lineage trip the self-join checker
+    val y = cellAssigned(spark, sfDir).select(col("vec_id").as("b"),
+      col("embedding").as("eb"), col("nrm").as("nb"), col("vcell").as("bcell"))
+    val dropped = x.join(y,
+        col("vcell") === col("bcell") && col("b") < col("vec_id") &&
+          dot("embedding", "eb") / (col("nrm") * col("nb")) >= SemDedupTau,
+        "left_semi")
+      .select("vec_id")
+    x.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("vcell").cast("long").as("cell"))
+      .orderBy("vec_id")
+  }
+
   /** IVF cell index: coarse cells = (label, sign-projection bucket)
     * centroids, components rounded to 4 decimals — the repo's margin for
     * shuffle-order-dependent double sums — so both engines land on the same
@@ -294,12 +333,19 @@ object LlmVector {
       when(lit(j) < bBits && dj > 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  private def buildCellScored(spark: SparkSession, sfDir: String): DataFrame = {
-    // corpus size → bucket bits, attached as a broadcast scalar (no collect)
+  /** Every vector with its OWN coarse cell attached (vcell = label·256 +
+    * sign-projection bucket) — the corpus-tracking blocking key shared by
+    * the IVF index build and `llm_semdedup`. Corpus size → bucket bits is
+    * attached as a broadcast scalar (no collect). */
+  private def cellAssigned(spark: SparkSession, sfDir: String): DataFrame = {
     val nRow = Tables.embeddings(spark, sfDir).agg(count(lit(1)).as("n_total"))
-    val e = Fanout.broadcastAll(emb(spark, sfDir), nRow, col("vec_id"), col("n_total"))
+    Fanout.broadcastAll(emb(spark, sfDir), nRow, col("vec_id"), col("n_total"))
       .withColumn("b_bits", bucketBits(col("n_total")))
       .withColumn("vcell", col("label").cast("long") * 256L + bucketCol(col("b_bits")))
+  }
+
+  private def buildCellScored(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = cellAssigned(spark, sfDir)
     val sums = (0 until Dim).map(i =>
       sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i"))
     val centroids = e
@@ -511,6 +557,7 @@ object LlmVector {
     "llm_cosine_topk" -> llmCosineTopk,
     "llm_knn_label" -> llmKnnLabel,
     "llm_embed_neardup" -> llmEmbedNeardup,
+    "llm_semdedup" -> llmSemdedup,
     "llm_ann_ivf" -> llmAnnIvf,
     "llm_embed_quantize" -> llmEmbedQuantize,
     "llm_multimodal_features" -> llmMultimodalFeatures,
@@ -657,6 +704,22 @@ object LlmVector {
          |  FROM embeddings ea JOIN embeddings eb
          |    ON ea.label = eb.label AND ea.vec_id < eb.vec_id)
          |WHERE cos >= 0.45 ORDER BY a, b""".stripMargin,
+    // cell assignment is the ivfSql prefix through `exc` (vec_id,
+    // embedding, nrm, vcell); the unreferenced downstream CTEs (centroids,
+    // ranking, candidates) are pruned by DuckDB's optimizer
+    "llm_semdedup" ->
+      s"""WITH $ivfSql,
+         |dropped AS (
+         |  SELECT DISTINCT x.vec_id
+         |  FROM exc x JOIN exc y
+         |    ON x.vcell = y.vcell AND y.vec_id < x.vec_id
+         |  WHERE list_aggregate(list_transform(list_zip(x.embedding, y.embedding),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+         |    / (x.nrm * y.nrm) >= 0.45)
+         |SELECT e.vec_id, CAST(e.vcell AS BIGINT) AS cell
+         |FROM exc e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+         |WHERE d.vec_id IS NULL
+         |ORDER BY e.vec_id""".stripMargin,
     "llm_ann_ivf" ->
       s"""WITH $ivfSql
          |SELECT a, b AS nn, rank, round(cos, 6) AS cos FROM (

@@ -402,8 +402,10 @@ object Sinks {
   /** Step 1 — the immutable data files. Written once; the DELETE below
     * never touches them again (the spec snapshots (name, length, mtime)
     * here and re-asserts after the delete + read). */
-  private[operators] def dvWriteData(spark: SparkSession, sfDir: String): String = {
-    val root = dvRoot(spark, sfDir)
+  private[operators] def dvWriteData(spark: SparkSession, sfDir: String): String =
+    dvWriteDataAt(spark, sfDir, dvRoot(spark, sfDir))
+
+  private def dvWriteDataAt(spark: SparkSession, sfDir: String, root: String): String = {
     Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
       .repartitionByRange(DvFiles, col("l_orderkey"))
@@ -430,8 +432,13 @@ object Sinks {
     * GDPR delete costs O(matching rows) sidecar bytes, not a rewrite of
     * every touched multi-GB file. */
   private[operators] def dvDelete(spark: SparkSession, root: String): Unit =
+    dvWriteSidecar(spark, root, dvDeletePredicate)
+
+  /** The sidecar writer shared by sink_delete_vectors and the purge
+    * fixture's accumulated delete. */
+  private def dvWriteSidecar(spark: SparkSession, root: String, pred: Column): Unit =
     dvScan(spark, root)
-      .filter(dvDeletePredicate)
+      .filter(pred)
       .groupBy(col("_f"))
       .agg(sort_array(collect_list(col("_pos"))).as("del_pos"))
       .write.mode("overwrite").parquet(s"$root/dv")
@@ -465,6 +472,123 @@ object Sinks {
     val root = dvWriteData(spark, sfDir)
     dvDelete(spark, root)
     dvRead(spark, root).orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Per-sfDir root for the DV-PURGE table — separate from dvRoot so the
+    * purge fixture and sink_delete_vectors cannot clobber each other's
+    * sidecars inside one session. */
+  private[operators] def dvpRoot(spark: SparkSession, sfDir: String): String =
+    s"${Scans.tmpRoot(spark)}/dvp_${math.abs(sfDir.hashCode)}"
+
+  /** Rewrite a file once its deletion vector covers this fraction of its
+    * rows — the knob every merge-on-read engine exposes (Delta's DV purge,
+    * Iceberg's rewrite_data_files delete-threshold). */
+  private[operators] val DvPurgeTau = 0.2
+
+  /** The purge fixture's ACCUMULATED delete: the light ~1% spread (every
+    * file gets a small DV, same shape as dvDeletePredicate) plus a heavy
+    * ~1/3 delete concentrated on the low-key quarter — so the range files
+    * covering low keys cross DvPurgeTau and the rest stay far under it.
+    * `cutoff` = max(l_orderkey)/4, a one-row bounded planning scalar
+    * (precedent: sinkCompaction's bounds row); the oracle recomputes it as
+    * a scalar subquery with DuckDB's `//` (same floor division on the
+    * non-negative keys). */
+  private[operators] def dvpDeletePredicate(cutoff: Long): Column =
+    (col("l_orderkey") % 97 === 3) ||
+      (col("l_orderkey") <= cutoff && col("l_orderkey") % 3 === 0)
+
+  private[operators] def dvpCutoff(spark: SparkSession, sfDir: String): Long =
+    Tables.lineitem(spark, sfDir).agg(max("l_orderkey")).head().getLong(0) / 4
+
+  /** Steps 1+2 for the purge table: immutable data files + the accumulated
+    * DV sidecar under the purge root. */
+  private[operators] def dvpWrite(spark: SparkSession, sfDir: String): String = {
+    val root = dvWriteDataAt(spark, sfDir, dvpRoot(spark, sfDir))
+    dvWriteSidecar(spark, root, dvpDeletePredicate(dvpCutoff(spark, sfDir)))
+    root
+  }
+
+  /** Step 3 — the PURGE decision + selective rewrite: per-file (rows, DV
+    * entries) stats decide which files' deletion vectors have grown past
+    * DvPurgeTau; exactly those are rewritten WITH their DV applied (the
+    * merge-on-read anti-join materialized once, for the heavy files only)
+    * into data2/, and the sidecar shrinks to the kept files' entries
+    * (dv2/). Kept data files are not touched — the whole point: purge cost
+    * is O(heavily-deleted files), not a table rewrite, and read-side
+    * anti-join work drops back to the light DVs. The per-file stats and
+    * path lists are ≤ DvFiles rows — bounded planning lists (precedent:
+    * sink_manifest_prune's capped manifest collect). Returns
+    * (purged, kept) original file paths; original purged files stay on
+    * disk awaiting vacuum, exactly like sink_time_travel's old snapshots.
+    */
+  private[operators] def dvpPurge(spark: SparkSession, root: String): (Seq[String], Seq[String]) = {
+    val (purged, kept) = dvFileFractions(spark, root).toSeq
+      .partition { case (_, frac) => frac >= DvPurgeTau }
+    require(purged.nonEmpty && kept.nonEmpty,
+      s"purge fixture must split the files: purged=${purged.size} kept=${kept.size}")
+    val purgedPaths = purged.map(_._1).sorted
+    val keptPaths = kept.map(_._1).sorted
+    val dv = spark.read.parquet(s"$root/dv")
+      .select(col("_f").as("_df"), explode(col("del_pos")).as("_dpos"))
+    spark.read.parquet(purgedPaths: _*)
+      .select(col("_metadata.file_path").as("_f"),
+        col("_metadata.row_index").as("_pos"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+      .join(dv, col("_f") === col("_df") && col("_pos") === col("_dpos"), "left_anti")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$root/data2")
+    spark.read.parquet(s"$root/dv").filter(col("_f").isin(keptPaths: _*))
+      .write.mode("overwrite").parquet(s"$root/dv2")
+    (purgedPaths, keptPaths)
+  }
+
+  /** Per-file deleted fraction (spec hook — the same ≤ DvFiles-row stats
+    * the purge decision reads). */
+  private[operators] def dvFileFractions(spark: SparkSession, root: String): Map[String, Double] = {
+    val rows = dvScan(spark, root).groupBy(col("_f")).agg(count(lit(1)).as("n"))
+    val dels = spark.read.parquet(s"$root/dv")
+      .select(col("_f"), size(col("del_pos")).cast("long").as("d"))
+    rows.join(dels, Seq("_f"), "left")
+      .select(col("_f"), coalesce(col("d"), lit(0L)).as("d"), col("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble / r.getLong(2)).toMap
+  }
+
+  /** Step 4 — the post-purge read: kept originals still merge-on-read
+    * against the shrunk sidecar; rewritten files read plain. */
+  private[operators] def dvpRead(spark: SparkSession, root: String, keptPaths: Seq[String]): DataFrame = {
+    val dv2 = spark.read.parquet(s"$root/dv2")
+      .select(col("_f").as("_df"), explode(col("del_pos")).as("_dpos"))
+    val keptScan = spark.read.parquet(keptPaths: _*)
+      .select(col("_metadata.file_path").as("_f"),
+        col("_metadata.row_index").as("_pos"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+      .join(dv2, col("_f") === col("_df") && col("_pos") === col("_dpos"), "left_anti")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    keptScan.unionByName(
+        spark.read.parquet(s"$root/data2")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity"), 2).as("qty"),
+        round(col("l_extendedprice"), 2).as("price"))
+  }
+
+  /** Deletion-vector PURGE — the maintenance half of the merge-on-read
+    * lifecycle sink_delete_vectors opens: deletes accumulate as sidecars
+    * until a file's DV fraction crosses DvPurgeTau, then exactly those
+    * files are rewritten with deletes applied while everything else keeps
+    * its original bytes and (smaller) sidecar. The DuckDB oracle checks
+    * the logical claim — the post-purge read ≡ a plain `WHERE NOT
+    * (accumulated predicate)` over the table, INDEPENDENT of which files
+    * the threshold selected; Round11OpsSpec asserts the physical half
+    * (kept files byte/mtime-identical, 1 ≤ rewritten < DvFiles, purged
+    * files' fractions ≥ τ > kept files', dv2 restricted to kept files —
+    * not observable from SQL). */
+  def sinkDvPurge(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = dvpWrite(spark, sfDir)
+    val (_, kept) = dvpPurge(spark, root)
+    dvpRead(spark, root, kept).orderBy("l_orderkey", "l_linenumber")
   }
 
   /** File count for the clustered copy — same sizing note as DvFiles. */
@@ -518,6 +642,7 @@ object Sinks {
     "sink_bucketed_join" -> sinkBucketedJoin,
     "sink_schema_evolution" -> sinkSchemaEvolution,
     "sink_delete_vectors" -> sinkDeleteVectors,
+    "sink_dv_purge" -> sinkDvPurge,
     "sink_clustered_write" -> sinkClusteredWrite,
   )
 
@@ -598,6 +723,17 @@ object Sinks {
         |  round(l_extendedprice, 2) AS price
         |FROM lineitem
         |WHERE NOT (l_orderkey % 97 = 3)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // logical half of the DV purge: the accumulated predicate replayed as
+    // a plain NOT filter — invariant to WHICH files the threshold rewrote
+    // (the physical selective-rewrite half is spec-gated)
+    "sink_dv_purge" ->
+      """WITH b AS (SELECT max(l_orderkey) // 4 AS cutoff FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS qty,
+        |  round(l_extendedprice, 2) AS price
+        |FROM lineitem, b
+        |WHERE NOT (l_orderkey % 97 = 3
+        |       OR (l_orderkey <= b.cutoff AND l_orderkey % 3 = 0))
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "sink_manifest_prune" ->
       """WITH b AS (SELECT min(o_orderkey) AS klo,

@@ -96,7 +96,13 @@ object ScaleStress {
     "sink_delete_vectors", "llm_bpe_encode", "agg_quantile_merge",
     // write-time clustering: narrow-projection range rewrite + the agg it
     // accelerates — the ratio bounds write + combine-friendly aggregate
-    "sink_clustered_write")
+    "sink_clustered_write",
+    // round 11 late additions: DV purge (selective rewrite — cost tracks
+    // the heavy files, not the table), the CMS merge rollup (sketch-sized
+    // state like the KLL row), and semantic dedup (within-cell pairs on
+    // the corpus-tracking IVF cell key — ~512-row cells hold pair work
+    // ~linear)
+    "sink_dv_purge", "agg_cms_merge", "llm_semdedup")
 
   /** Per-query sweep ceilings for operators whose work is super-linear BY
     * DECLARATION, so running them at every scale proves nothing new and

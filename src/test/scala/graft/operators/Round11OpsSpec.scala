@@ -109,6 +109,96 @@ class Round11OpsSpec extends SparkSpec {
     assert(a == b, "clustered and scattered layouts must agree")
   }
 
+  test("DV purge: rewrites exactly the heavy files, kept files untouched") {
+    val root = Sinks.dvpWrite(spark, sf001)
+    def snap(dir: String): Map[String, (Long, Long)] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, (f.length, f.lastModified))).toMap
+    val before = snap(s"$root/data")
+    assert(before.size == Sinks.DvFiles)
+
+    val (purged, kept) = Sinks.dvpPurge(spark, root)
+    assert(purged.nonEmpty && purged.size < Sinks.DvFiles,
+      s"selective rewrite expected: purged ${purged.size}/${Sinks.DvFiles}")
+    assert(purged.size + kept.size == Sinks.DvFiles)
+
+    // kept originals byte/mtime-identical after purge + read
+    val after = snap(s"$root/data")
+    kept.map(p => p.split('/').last).foreach { name =>
+      assert(after(name) == before(name), s"kept file $name was touched")
+    }
+
+    // the threshold did the deciding: purged fractions >= tau > kept's
+    val fracs = Sinks.dvFileFractions(spark, root)
+    purged.foreach(p => assert(fracs(p) >= Sinks.DvPurgeTau, s"purged $p frac ${fracs(p)}"))
+    kept.foreach(p => assert(fracs(p) < Sinks.DvPurgeTau, s"kept $p frac ${fracs(p)}"))
+
+    // sidecar shrank to exactly the kept files' entries
+    val dv2Files = spark.read.parquet(s"$root/dv2")
+      .select("_f").distinct().collect().map(_.getString(0)).toSet
+    assert(dv2Files.subsetOf(kept.toSet), "dv2 must cover only kept files")
+
+    // accounting: final rows == total - deleted(accumulated predicate)
+    val cutoff = Sinks.dvpCutoff(spark, sf001)
+    val total = graft.Tables.lineitem(spark, sf001).count()
+    val deleted = graft.Tables.lineitem(spark, sf001)
+      .filter(Sinks.dvpDeletePredicate(cutoff)).count()
+    assert(deleted > 0)
+    assert(Sinks.dvpRead(spark, root, kept).count() == total - deleted)
+  }
+
+  test("CMS merge is exact: merged == global sketch, est within one-sided band") {
+    val rows = Aggregations.aggCmsMerge(spark, sf001).collect()
+    assert(rows.length == 5, "top-5 probes expected")
+    assert(rows(0).getLong(2) > 1, "need >1 month for the merge to be meaningful")
+    // one-sided CMS guarantee: true <= est <= true + eps*N
+    val n = graft.Tables.orders(spark, sf001).count()
+    rows.foreach { r =>
+      val (truth, est) = (r.getLong(1), r.getLong(3))
+      assert(est >= truth, s"CMS estimate $est below true $truth")
+      assert(est <= truth + math.ceil(0.001 * n).toLong + 1,
+        s"CMS estimate $est above eps-band of true $truth (n=$n)")
+    }
+    // merge exactness: per-month merge == one global sketch, bit-for-bit
+    // on every probe (counter addition is associative + commutative)
+    import org.apache.spark.util.sketch.CountMinSketch
+    val globalBytes = graft.Tables.orders(spark, sf001)
+      .agg(expr("count_min_sketch(o_custkey, 0.001d, 0.99d, 42)").as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val global = CountMinSketch.readFrom(globalBytes)
+    rows.foreach { r =>
+      assert(r.getLong(3) == global.estimateCount(r.getLong(0)),
+        s"merged estimate diverges from global sketch for key ${r.getLong(0)}")
+    }
+  }
+
+  test("semantic dedup: non-vacuous, kept set pairwise below tau within cells") {
+    val kept = LlmVector.llmSemdedup(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nVecs = graft.Tables.embeddings(spark, sf01).count()
+    val dropped = nVecs - kept.length
+    assert(dropped > 0, "threshold must drop something at sf0.01 (tuned non-vacuous)")
+    assert(kept.length > 0)
+    // invariant of the star rule: no two KEPT members of one cell are
+    // near-dups (else the larger id would have been dropped) — checked
+    // exactly via the same parity dot the query uses
+    import org.apache.spark.sql.functions._
+    val k = spark.createDataFrame(kept.toSeq).toDF("vec_id", "cell")
+    val e = graft.Tables.embeddings(spark, sf01).select("vec_id", "embedding")
+    graft.functions.VectorExprs.register(spark)
+    val kx = k.join(e, "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        expr("sqrt(graft_dot(embedding, embedding))").as("nrm"))
+    val ky = kx.select(col("vec_id").as("b"), col("cell").as("bcell"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val offenders = kx.join(ky,
+        col("cell") === col("bcell") && col("b") < col("vec_id") &&
+          expr("graft_dot(embedding, eb)") / (col("nrm") * col("nb")) >= 0.45)
+      .count()
+    assert(offenders == 0, s"$offenders kept near-dup pairs survived within cells")
+  }
+
   test("merged KLL quantiles land within 2% of exact p50/p90") {
     val row = Aggregations.aggQuantileMerge(spark, sf001).collect()(0)
     assert(row.getLong(0) > 1, "need >1 day for the merge to be meaningful")
