@@ -591,6 +591,68 @@ object Sinks {
     dvpRead(spark, root, kept).orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Per-sfDir root for the partition-overwrite table (same per-sfDir
+    * keying rationale as dvRoot/dvpRoot). */
+  private[operators] def poRoot(spark: SparkSession, sfDir: String): String =
+    s"${Scans.tmpRoot(spark)}/po_${math.abs(sfDir.hashCode)}"
+
+  /** The partitioned base projection: orders keyed by order-year, the
+    * layout a daily/yearly batch job overwrites incrementally. */
+  private[operators] def poBase(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast("long").as("p_year"))
+
+  /** Step 1 — the partitioned base table. */
+  private[operators] def poWrite(spark: SparkSession, sfDir: String): String = {
+    val root = poRoot(spark, sfDir)
+    poBase(spark, sfDir).write.mode("overwrite")
+      .partitionBy("p_year").parquet(s"$root/t")
+    root
+  }
+
+  /** The recomputed partition — the latest year, re-derived with updated
+    * prices (×1.1: one IEEE multiply, bit-identical on both engines — the
+    * sinkMergeUpsert rounding note applies). maxYear is a one-row bounded
+    * planning scalar; the oracle recomputes it as a scalar subquery. */
+  private[operators] def poMaxYear(spark: SparkSession, sfDir: String): Long =
+    poBase(spark, sfDir).agg(max("p_year")).head().getLong(0)
+
+  /** Step 2 — INSERT OVERWRITE of ONE partition under
+    * `partitionOverwriteMode=dynamic`: only partitions present in the
+    * incoming data are replaced; every other year's files must survive
+    * byte-identically (static overwrite mode would instead DROP them —
+    * the classic daily-job data-loss trap this mode exists to fix). */
+  private[operators] def poDynamicOverwrite(spark: SparkSession, sfDir: String, root: String): Unit = {
+    val maxY = poMaxYear(spark, sfDir)
+    poBase(spark, sfDir)
+      .filter(col("p_year") === maxY)
+      .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("p_year").parquet(s"$root/t")
+  }
+
+  private[operators] def poRead(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/t")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("p_year").cast("long").as("p_year"))
+
+  /** Dynamic partition overwrite — the incremental-recompute primitive a
+    * partitioned 100-TB table lives on: a batch job recomputes ONE
+    * partition (here the latest order-year, with updated prices) and
+    * INSERT OVERWRITEs exactly that partition; untouched partitions keep
+    * their files. The DuckDB oracle checks the logical half (latest-year
+    * rows updated, all others original); Round11OpsSpec asserts the
+    * physical half (non-target partition directories byte/mtime-identical
+    * across the overwrite, target directory rewritten, partition count
+    * unchanged — the static-mode data-loss trap demonstrably avoided). */
+  def sinkPartitionOverwrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = poWrite(spark, sfDir)
+    poDynamicOverwrite(spark, sfDir, root)
+    poRead(spark, root).orderBy("o_orderkey")
+  }
+
   /** File count for the clustered copy — same sizing note as DvFiles. */
   private[operators] val ClusterFiles = 8
 
@@ -644,6 +706,7 @@ object Sinks {
     "sink_delete_vectors" -> sinkDeleteVectors,
     "sink_dv_purge" -> sinkDvPurge,
     "sink_clustered_write" -> sinkClusteredWrite,
+    "sink_partition_overwrite" -> sinkPartitionOverwrite,
   )
 
   val oracles: Map[String, String] = Map(
@@ -735,6 +798,17 @@ object Sinks {
         |WHERE NOT (l_orderkey % 97 = 3
         |       OR (l_orderkey <= b.cutoff AND l_orderkey % 3 = 0))
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // logical half of the dynamic partition overwrite: latest-year rows
+    // carry the recomputed price, all others the original (the physical
+    // untouched-partitions half is spec-gated)
+    "sink_partition_overwrite" ->
+      """WITH b AS (SELECT max(year(o_orderdate)) AS maxy FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  CASE WHEN year(o_orderdate) = b.maxy THEN o_totalprice * 1.1
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  CAST(year(o_orderdate) AS BIGINT) AS p_year
+        |FROM orders, b
+        |ORDER BY o_orderkey""".stripMargin,
     "sink_manifest_prune" ->
       """WITH b AS (SELECT min(o_orderkey) AS klo,
         |  min(o_orderkey) + (max(o_orderkey) - min(o_orderkey)) // 4 AS khi

@@ -152,7 +152,35 @@ object Windows {
       .orderBy("o_custkey")
   }
 
+  /** IGNORE NULLS window navigation (SQL:2011 null treatment; Spark
+    * exposes it as function overloads, DuckDB as the `IGNORE NULLS`
+    * modifier). Purchase values exist only on purchase events — a
+    * deterministic mask both engines replay — so each user's stream is a
+    * SPARSE series and the four navigation functions bridge the gaps:
+    * last/next known value around every event (the as-of-style lookup
+    * ts_forward_fill builds from `last()`, here over the full navigation
+    * family), first and second known value per user. One shuffle on
+    * user_id; lag/lead are frame-independent offsets, first rides the
+    * default running frame on both engines, nth gets the explicit full
+    * frame. Total order (user_id, event_id); values rounded on both
+    * engines per convention. */
+  def winIgnoreNulls(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("epoch_us", "event_id")
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("epoch_us"),
+        when(col("event_type") =!= "purchase", lit(null))
+          .otherwise(col("value")).as("v"))
+      .select(col("user_id"), col("event_id"),
+        round(lag(col("v"), 1, null, ignoreNulls = true).over(w), 4).as("prev_known"),
+        round(lead(col("v"), 1, null, ignoreNulls = true).over(w), 4).as("next_known"),
+        round(first(col("v"), ignoreNulls = true).over(w), 4).as("first_known"),
+        round(nth_value(col("v"), 2, ignoreNulls = true).over(wAll), 4).as("second_known"))
+      .orderBy("user_id", "event_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_ignore_nulls" -> winIgnoreNulls,
     "win_rank_dense" -> winRankDense,
     "win_topk_per_group" -> winTopkPerGroup,
     "win_running_sum" -> winRunningSum,
@@ -215,5 +243,21 @@ object Windows {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey""".stripMargin,
+    "win_ignore_nulls" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS e_us,
+        |    CASE WHEN event_type <> 'purchase' THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  round(lag(v IGNORE NULLS) OVER w, 4) AS prev_known,
+        |  round(lead(v IGNORE NULLS) OVER w, 4) AS next_known,
+        |  round(first_value(v IGNORE NULLS) OVER w, 4) AS first_known,
+        |  round(nth_value(v, 2 IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY e_us, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 4)
+        |    AS second_known
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY e_us, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
   )
 }

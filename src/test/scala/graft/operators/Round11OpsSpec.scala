@@ -199,6 +199,38 @@ class Round11OpsSpec extends SparkSpec {
     assert(offenders == 0, s"$offenders kept near-dup pairs survived within cells")
   }
 
+  test("dynamic partition overwrite touches only the target partition") {
+    val root = Sinks.poWrite(spark, sf001)
+    def snap(): Map[String, Seq[(String, Long, Long)]] =
+      new java.io.File(s"$root/t").listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("p_year="))
+        .map(d => d.getName -> d.listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq)
+        .toMap
+    val before = snap()
+    assert(before.size > 1, "need multiple year partitions for the claim")
+    val maxY = Sinks.poMaxYear(spark, sf001)
+    val target = s"p_year=$maxY"
+    assert(before.contains(target))
+
+    Sinks.poDynamicOverwrite(spark, sf001, root)
+    val after = snap()
+
+    // dynamic mode: every NON-target partition survives byte-identically
+    // (static mode would have dropped them — the data-loss trap)
+    assert(after.keySet == before.keySet, "partition set must be unchanged")
+    (before.keySet - target).foreach { p =>
+      assert(after(p) == before(p), s"untouched partition $p was modified")
+    }
+    // ... and the target partition was actually rewritten
+    assert(after(target) != before(target), "target partition must be rewritten")
+
+    // row accounting: the overwrite replaced, not appended
+    val total = graft.Tables.orders(spark, sf001).count()
+    assert(Sinks.poRead(spark, root).count() == total)
+  }
+
   test("merged KLL quantiles land within 2% of exact p50/p90") {
     val row = Aggregations.aggQuantileMerge(spark, sf001).collect()(0)
     assert(row.getLong(0) > 1, "need >1 day for the merge to be meaningful")
