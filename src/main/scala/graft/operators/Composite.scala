@@ -202,7 +202,28 @@ object Composite {
       .limit(100)
   }
 
+  /** UNPIVOT (wide → long): the melt half of the reshaping pair whose
+    * pivot half agg_pivot covers. A per-returnflag wide aggregate (three
+    * measure columns) melts into (key, measure, value) rows via
+    * `Dataset.unpivot` — Spark's native UNPIVOT, one local Expand over
+    * the already-aggregated wide table (3 rows/input row, no shuffle
+    * beyond the aggregate's own); DuckDB replays it with its UNPIVOT
+    * clause. Measures are rounded BEFORE melting on both engines, and
+    * (l_returnflag, measure) is the unique total order. */
+  def sqlUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val wide = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(sum("l_discount"), 2).as("sum_disc"))
+    wide.unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "measure", "value")
+      .orderBy("l_returnflag", "measure")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_unpivot" -> sqlUnpivot,
     "q10_returned_items" -> q10ReturnedItems,
     "q18_large_volume" -> q18LargeVolume,
     "sql_correlated_subquery" -> sqlCorrelatedSubquery,
@@ -216,6 +237,15 @@ object Composite {
   )
 
   val oracles: Map[String, String] = Map(
+    "sql_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |    round(sum(l_extendedprice), 2) AS sum_price,
+        |    round(sum(l_discount), 2) AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, measure, value
+        |FROM wide UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_disc))
+        |ORDER BY l_returnflag, measure""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,

@@ -534,6 +534,39 @@ object LlmText {
       .limit(20)
   }
 
+  /** First-occurrence 3-gram NOVELTY per document — the corpus-diversity
+    * curation metric: a document whose word 3-grams have all been seen in
+    * earlier documents (smaller doc_id = earlier ingestion; at 100 TB the
+    * order key is the ingestion timestamp) adds no new phrasing to the
+    * corpus and is a boilerplate/recombination candidate, the
+    * repetition-across-documents complement to llm_repetition's
+    * within-document scoring. Distributed shape: per-doc DISTINCT grams
+    * (explode + distinct), a groupBy-gram min-doc_id table (the "first
+    * seen" index — one shuffle on the gram key, never a self-join), and
+    * a join back; everything is linear in total gram count. Docs with
+    * fewer than 3 tokens have no grams and drop out on both engines. */
+  def llmNgramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = docs(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("norm"), " ")))
+      .toDF("doc_id", "pos", "token")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = tok
+      .withColumn("w2", lead("token", 1).over(w))
+      .withColumn("w3", lead("token", 2).over(w))
+      .filter(col("w3").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("token"), col("w2"), col("w3")).as("g"))
+      .distinct()
+    val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+    grams.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("novel_grams"))
+      .withColumn("novelty", round(col("novel_grams") / col("n_grams"), 4))
+      .orderBy("doc_id")
+  }
+
   /** Corpus bigram language-model scoring — perplexity-style quality
     * filtering for training data: a document whose word transitions are
     * improbable under the corpus's own add-1-smoothed bigram model is an
@@ -1001,6 +1034,7 @@ object LlmText {
     "llm_tfidf" -> llmTfidf,
     "llm_bigram_lm" -> llmBigramLm,
     "llm_ngrams" -> llmNgrams,
+    "llm_ngram_novelty" -> llmNgramNovelty,
     "llm_text_stats" -> llmTextStats,
     "llm_sentiment_lexicon" -> llmSentimentLexicon,
     "llm_length_hist" -> llmLengthHist,
@@ -1217,6 +1251,24 @@ object LlmText {
         |         JOIN uni ON big.w = uni.w
         |         CROSS JOIN v
         |GROUP BY big.doc_id ORDER BY big.doc_id""".stripMargin,
+    "llm_ngram_novelty" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token,
+        |    generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos
+        |  FROM documents),
+        |tri AS (
+        |  SELECT DISTINCT doc_id,
+        |    token || ' ' || lead(token) OVER w || ' ' || lead(token, 2) OVER w AS g
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |g2 AS (SELECT doc_id, g FROM tri WHERE g IS NOT NULL),
+        |first AS (SELECT g, min(doc_id) AS first_doc FROM g2 GROUP BY g)
+        |SELECT g2.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN first.first_doc = g2.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS novel_grams,
+        |  round(CAST(sum(CASE WHEN first.first_doc = g2.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) / count(*), 4) AS novelty
+        |FROM g2 JOIN first USING (g)
+        |GROUP BY g2.doc_id ORDER BY doc_id""".stripMargin,
     "llm_ngrams" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token,

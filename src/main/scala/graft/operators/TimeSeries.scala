@@ -294,7 +294,40 @@ object TimeSeries {
       .orderBy("seg")
   }
 
+  /** Peak concurrent in-transit shipments per month — interval/sweep-line
+    * analytics (the "how many things were active at once" question every
+    * ops dashboard asks of interval data). Each line ships at l_shipdate
+    * and stays in transit a deterministic 1–30 days ((7·orderkey +
+    * linenumber) mod 30 + 1 — the reduced schema carries no receiptdate,
+    * so the fixture derives one both engines replay). The sweep-line
+    * explodes each interval into +1/−1 endpoint deltas, pre-aggregates
+    * them BY DAY first — so the running-sum window runs on the
+    * CALENDAR-sized daily-net table (~2.5k rows at any corpus size), not
+    * on rows — then takes the running concurrency and maxes it per month.
+    * Per-row work is one endpoint explode + one shuffle into the day
+    * aggregate; the unpartitioned window is bounded by days-in-history,
+    * the same bounded-global-window argument ts_gapfill's calendar uses. */
+  def tsConcurrentIntervals(spark: SparkSession, sfDir: String): DataFrame = {
+    val iv = Tables.lineitem(spark, sfDir)
+      .select(to_date(col("l_shipdate")).as("s"),
+        (pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(30)) + 1)
+          .cast("int").as("dur"))
+      .select(col("s"), date_add(col("s"), col("dur")).as("e"))
+    val daily = iv.select(explode(array(
+        struct(col("s").as("d"), lit(1L).as("delta")),
+        struct(col("e").as("d"), lit(-1L).as("delta")))).as("x"))
+      .select(col("x.d").as("d"), col("x.delta").as("delta"))
+      .groupBy("d").agg(sum("delta").as("net"))
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("active", sum("net").over(w))
+      .groupBy(trunc(col("d"), "month").as("month"))
+      .agg(max("active").as("max_active"))
+      .orderBy("month")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_concurrent_intervals" -> tsConcurrentIntervals,
     "ts_ship_latency" -> tsShipLatency,
     "win_pareto" -> winPareto,
     "ts_lead_lag_corr" -> tsLeadLagCorr,
@@ -309,6 +342,24 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "ts_concurrent_intervals" ->
+      """WITH iv AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS s,
+        |    CAST(l_shipdate AS DATE)
+        |      + CAST((l_orderkey * 7 + l_linenumber) % 30 + 1 AS INT) AS e
+        |  FROM lineitem),
+        |daily AS (
+        |  SELECT d, CAST(sum(delta) AS BIGINT) AS net FROM (
+        |    SELECT s AS d, 1 AS delta FROM iv
+        |    UNION ALL SELECT e AS d, -1 AS delta FROM iv)
+        |  GROUP BY d),
+        |r AS (
+        |  SELECT d, CAST(sum(net) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS active
+        |  FROM daily)
+        |SELECT date_trunc('month', d) AS month,
+        |  CAST(max(active) AS BIGINT) AS max_active
+        |FROM r GROUP BY 1 ORDER BY month""".stripMargin,
     "ts_ship_latency" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         |  round(avg(lag_days), 4) AS avg_days,

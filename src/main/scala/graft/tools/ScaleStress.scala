@@ -102,7 +102,14 @@ object ScaleStress {
     // state like the KLL row), and semantic dedup (within-cell pairs on
     // the corpus-tracking IVF cell key — ~512-row cells hold pair work
     // ~linear)
-    "sink_dv_purge", "agg_cms_merge", "llm_semdedup")
+    "sink_dv_purge", "agg_cms_merge", "llm_semdedup",
+    // IGNORE NULLS navigation (one user_id window) and the one-partition
+    // dynamic overwrite (partitioned write + selective replace)
+    "win_ignore_nulls", "sink_partition_overwrite",
+    // sweep-line concurrency (calendar-bounded window), UNPIVOT melt, and
+    // the first-occurrence gram-novelty index (explode + two gram-key
+    // shuffles — the gram-volume-linear shape worth holding to a ratio)
+    "ts_concurrent_intervals", "sql_unpivot", "llm_ngram_novelty")
 
   /** Per-query sweep ceilings for operators whose work is super-linear BY
     * DECLARATION, so running them at every scale proves nothing new and
