@@ -211,7 +211,36 @@ object EventTime {
       .orderBy("cohort_week", "week_idx")
   }
 
+  /** MATCH_RECOGNIZE-style sequence pattern counting — the SQL:2016 row
+    * pattern surface Spark lacks, emulated with the per-user
+    * ordered-sequence-string + regex idiom: each user's event stream
+    * collapses to one character per event (V/C/P/O, ordered by
+    * (epoch_us, event_id) — a unique total order, so the string is
+    * deterministic on both engines) and the funnel pattern `VC*P` (a view,
+    * any clicks, then a purchase) is counted with non-overlapping
+    * left-to-right regex semantics, identical for this alternation-free
+    * pattern under Java regex and RE2. One shuffle on user_id; per-user
+    * strings are bounded by per-entity history (the synth invariant —
+    * entity count grows, per-entity history does not). */
+  def evtPatternMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("epoch_us"), col("event_id"),
+        when(col("event_type") === "view", "V")
+          .when(col("event_type") === "click", "C")
+          .when(col("event_type") === "purchase", "P")
+          .otherwise("O").as("chr"))
+    ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("epoch_us"), col("event_id"), col("chr")))),
+          x => x.getField("chr")), "").as("seq"))
+      .select(col("user_id"), col("n_events"),
+        regexp_count(col("seq"), lit("VC*P")).cast("long").as("n_patterns"))
+      .orderBy("user_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_pattern_match" -> evtPatternMatch,
     "evt_cohort_ltv" -> evtCohortLtv,
     "evt_attribution" -> evtAttribution,
     "evt_markov" -> evtMarkov,
@@ -225,6 +254,19 @@ object EventTime {
   )
 
   val oracles: Map[String, String] = Map(
+    "evt_pattern_match" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS e_us, event_id,
+        |    CASE event_type WHEN 'view' THEN 'V' WHEN 'click' THEN 'C'
+        |         WHEN 'purchase' THEN 'P' ELSE 'O' END AS chr
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    string_agg(chr, '' ORDER BY e_us, event_id) AS seq
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  CAST(len(regexp_extract_all(seq, 'VC*P')) AS BIGINT) AS n_patterns
+        |FROM s ORDER BY user_id""".stripMargin,
     "evt_cohort_ltv" ->
       """WITH signup AS (
         |  SELECT user_id, min(epoch_us(ts)) AS s_us,

@@ -169,6 +169,40 @@ object Scans {
     }.reduce(_ union _).orderBy("column")
   }
 
+  /** Whole-file binary ingestion — Spark's `binaryFile` source read as
+    * the multimodal LAKE layout: one GRFT container per object, exactly
+    * how image/audio corpora land in object storage, with document
+    * identity carried by the object name. Each document's container is
+    * written to its own file, read back via `format("binaryFile")`
+    * (path, length, content — the content column is the raw object
+    * bytes), doc_id recovered from the filename, and the bytes run
+    * through the SAME GRFT parser as llm_multimodal_decode — the oracle
+    * is literally that query's oracle, so identical features must
+    * survive the file-per-object round trip. At 100 TB the per-object
+    * layout is the point: binaryFile lists/splits by object,
+    * `pathGlobFilter` prunes, and payload bytes never touch a shuffle
+    * (features extract in the scan's mapPartitions). File writes happen
+    * executor-side (foreachPartition), one pass, idempotent per path. */
+  def sourceBinaryFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = s"${tmpRoot(spark)}/binfiles_${math.abs(sfDir.hashCode)}"
+    new java.io.File(dir).mkdirs()
+    MultimodalOps.pack(MultimodalOps.fromDocuments(spark, sfDir))
+      .foreachPartition { (it: Iterator[MediaRecord]) =>
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/${r.doc_id}.grft"), r.payload)
+        }
+      }
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.grft").load(dir)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.grft$", 1).cast("long").as("doc_id"),
+        col("content").as("payload"),
+        lit("application/x-grft").as("media_type"))
+      .as(org.apache.spark.sql.Encoders.product[MediaRecord])
+    MultimodalOps.decode(bin).toDF().orderBy("doc_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_lineitem" -> scanLineitem,
     "scan_profile" -> scanProfile,
@@ -178,9 +212,14 @@ object Scans {
     "source_orc_roundtrip" -> sourceOrcRoundtrip,
     "source_partitioned_prune" -> sourcePartitionedPrune,
     "source_dpp_prune" -> sourceDppPrune,
+    "source_binary_files" -> sourceBinaryFiles,
   )
 
   val oracles: Map[String, String] = Map(
+    // deliberately the SAME oracle as llm_multimodal_decode (referenced,
+    // not copied, so they cannot drift): the file-per-object round trip
+    // must reproduce the in-table decode's features exactly
+    "source_binary_files" -> LlmVector.oracles("llm_multimodal_decode"),
     "scan_lineitem" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |  l_quantity, l_extendedprice, l_returnflag, l_linestatus

@@ -109,7 +109,14 @@ object ScaleStress {
     // sweep-line concurrency (calendar-bounded window), UNPIVOT melt, and
     // the first-occurrence gram-novelty index (explode + two gram-key
     // shuffles — the gram-volume-linear shape worth holding to a ratio)
-    "ts_concurrent_intervals", "sql_unpivot", "llm_ngram_novelty")
+    "ts_concurrent_intervals", "sql_unpivot", "llm_ngram_novelty",
+    // row-pattern matching (one shuffle + bounded per-user strings).
+    // source_binary_files is deliberately NOT swept: its fixture writes
+    // one file per document (5k at sf0.1), so a 100x sweep would spray
+    // 500k tmp files to measure a decode kernel llm_multimodal_decode
+    // already holds to x2.2 — the binaryFile listing cost is the real
+    // variable and it is an object-store property, not an engine one.
+    "evt_pattern_match")
 
   /** Per-query sweep ceilings for operators whose work is super-linear BY
     * DECLARATION, so running them at every scale proves nothing new and
