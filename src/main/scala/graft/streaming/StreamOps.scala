@@ -77,6 +77,38 @@ object StreamOps {
       .transformWithState(new RunningCountProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** ValueState payload for the streaming top-k (product encoder — Seq
+    * fields serialize natively, no kryo). */
+  case class TopVals(vs: Seq[Double])
+
+  /** Streaming TOP-K per key with BOUNDED state — the streaming form of
+    * `win_topk_per_group`: state per key is ONLY the k largest values seen
+    * (a k-sized descending array, merged with each batch's values), so
+    * state is O(keys·k) regardless of stream length — the property that
+    * makes per-entity leaderboards feasible on an unbounded stream, where
+    * buffering events for a window-rank would grow without bound. Emits
+    * the key's current top-k after every batch it appears in (Update
+    * mode); ties keep both values (values, not ranks, are the state). */
+  class TopKProcessor(k: Int) extends StatefulProcessor[Long, Evt, (Long, Seq[Double])] {
+    @transient private var top: ValueState[TopVals] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      top = getHandle.getValueState[TopVals]("top", Encoders.product[TopVals], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Evt],
+        timerValues: TimerValues): Iterator[(Long, Seq[Double])] = {
+      val cur = if (top.exists()) top.get().vs else Seq.empty[Double]
+      val merged = (cur ++ rows.map(_.value))
+        .sorted(Ordering[Double].reverse).take(k)
+      top.update(TopVals(merged))
+      Iterator.single((key, merged))
+    }
+  }
+
+  def topkPerUserV2(events: Dataset[Evt], k: Int): Dataset[(Long, Seq[Double])] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user)
+      .transformWithState(new TopKProcessor(k), TimeMode.None(), OutputMode.Update())
+  }
+
   /** Arbitrary stateful processing: running per-user event count
     * (mapGroupsWithState; update output mode). */
   def runningUserCounts(events: Dataset[Evt]): Dataset[(Long, Long)] = {

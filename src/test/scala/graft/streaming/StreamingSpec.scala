@@ -20,7 +20,8 @@ case class MergeChangeRow(o_orderkey: Long, o_custkey: Long,
 class StreamingSpec extends SparkSpec {
 
   private def ts(hhmm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
-  private def evt(hhmm: String, user: Long = 1L, id: Long = 0L) = Evt(ts(hhmm), user, 1.0, id)
+  private def evt(hhmm: String, user: Long = 1L, id: Long = 0L, value: Double = 1.0) =
+    Evt(ts(hhmm), user, value, id)
 
   test("tumbling window with watermark drops late rows and finalizes on watermark pass") {
     import spark.implicits._
@@ -219,6 +220,47 @@ class StreamingSpec extends SparkSpec {
       val latest = spark.sql("SELECT user, max(total) FROM t_tws GROUP BY user").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(latest == Map(1L -> 3L, 2L -> 1L))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming top-k keeps only k values per key and matches the batch top-k") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Evt]
+    val q = StreamOps.topkPerUserV2(in.toDS, 3)
+      .toDF("user", "top")
+      .writeStream.format("memory").queryName("t_topk").outputMode("update").start()
+    try {
+      // user 1 sees 5 values across two batches; user 2 sees 2
+      in.addData(evt("10:00", value = 5.0), evt("10:01", value = 1.0),
+        evt("10:02", value = 3.0), evt("10:03", user = 2L, value = 9.0))
+      q.processAllAvailable()
+      in.addData(evt("10:10", value = 7.0), evt("10:11", value = 2.0),
+        evt("10:12", user = 2L, value = 4.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user, top FROM t_topk").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toList))
+      // the post-batch-2 emissions must equal the batch top-3 over ALL
+      // values seen (only the final merge can produce these lists)
+      assert(rows.contains((1L, List(7.0, 5.0, 3.0))),
+        s"user 1 final top-3 missing from ${rows.toList}")
+      assert(rows.contains((2L, List(9.0, 4.0))),
+        s"user 2 final top missing from ${rows.toList}")
+      // bounded-state contract: no emission ever exceeds k values, and
+      // every emission is sorted descending (the state invariant)
+      assert(rows.forall(_._2.length <= 3), "state exceeded k values")
+      assert(rows.forall(p => p._2 == p._2.sorted(Ordering[Double].reverse)),
+        "emissions must be descending")
     } finally {
       q.stop()
       prev match {
