@@ -152,6 +152,52 @@ object Aggregations {
       .orderBy("o_custkey")
   }
 
+  /** THETA-sketch set algebra — the distinct-count capability the HLL
+    * family (agg_approx_distinct / agg_hll_merge) fundamentally lacks:
+    * INTERSECTION. "How many users both viewed and purchased?" needs
+    * |A∩B|, and HLL sketches cannot intersect; Datasketches theta
+    * sketches can (union / intersect / a-not-b), which is why audience-
+    * overlap systems run on theta at scale. Shape: ONE mapPartitions pass
+    * builds a compact sketch per (event_type, partition) — the union
+    * stage then merges sketch-count rows, never raw rows (the same
+    * sketch-once/merge-small discipline as agg_cms_merge) — and the
+    * pairwise intersections run on the ≤|types| merged sketches, a
+    * bounded planning set (collected like sinkCompaction's bounds row).
+    * At the spec SFs the sketches are in exact mode (distinct users ≪
+    * k=4096) so estimates are exact; Round11OpsSpec asserts ±5% against
+    * exact distinct/intersection counts either way. No oracle (sketch
+    * bytes engine-specific); agg_distinct_exact is the exact row. */
+  def aggThetaIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.datasketches.theta.UpdateSketch
+    val parts = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id")).as[(String, Long)]
+      .mapPartitions { it =>
+        val sk = scala.collection.mutable.Map.empty[String, UpdateSketch]
+        it.foreach { case (t, u) =>
+          sk.getOrElseUpdate(t, UpdateSketch.builder().build()).update(u)
+        }
+        sk.iterator.map { case (t, s) => (t, s.compact().toByteArray) }
+      }.toDF("event_type", "sk")
+    val thetaUnion = udaf(graft.functions.ThetaUnionAgg)
+    val merged = parts.groupBy("event_type")
+      .agg(thetaUnion(col("sk")).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
+    val pairs = merged.keys.toSeq.sorted.combinations(2).map { case Seq(a, b) =>
+      val i = org.apache.datasketches.theta.SetOperation.builder().buildIntersection()
+      i.intersect(org.apache.datasketches.theta.Sketches
+        .heapifyCompactSketch(org.apache.datasketches.memory.Memory.wrap(merged(a))))
+      i.intersect(org.apache.datasketches.theta.Sketches
+        .heapifyCompactSketch(org.apache.datasketches.memory.Memory.wrap(merged(b))))
+      (a, b,
+        math.round(graft.functions.ThetaUnionAgg.estimate(merged(a))),
+        math.round(graft.functions.ThetaUnionAgg.estimate(merged(b))),
+        math.round(i.getResult.getEstimate))
+    }.toSeq
+    pairs.toDF("type_a", "type_b", "est_a", "est_b", "est_intersect")
+      .orderBy("type_a", "type_b")
+  }
+
   private def starRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
     val c = Tables.customer(spark, sfDir)
@@ -403,6 +449,7 @@ object Aggregations {
     "agg_hll_merge" -> aggHllMerge,
     "agg_quantile_merge" -> aggQuantileMerge,
     "agg_cms_merge" -> aggCmsMerge,
+    "agg_theta_intersect" -> aggThetaIntersect,
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,

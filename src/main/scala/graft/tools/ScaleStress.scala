@@ -116,7 +116,10 @@ object ScaleStress {
     // 500k tmp files to measure a decode kernel llm_multimodal_decode
     // already holds to x2.2 — the binaryFile listing cost is the real
     // variable and it is an object-store property, not an engine one.
-    "evt_pattern_match")
+    "evt_pattern_match",
+    // theta set-algebra: one sketch pass + sketch-count merges — the
+    // sketch-once/merge-small shape held to a ratio like the CMS row
+    "agg_theta_intersect")
 
   /** Per-query sweep ceilings for operators whose work is super-linear BY
     * DECLARATION, so running them at every scale proves nothing new and

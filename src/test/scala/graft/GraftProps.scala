@@ -158,4 +158,30 @@ object GraftProps extends Properties("graft") {
         .filter(!call_function("graft_bloom_might_contain", lit(bytes), col("k")))
         .count() == 0L
     }
+
+  private val genIntervals =
+    Gen.nonEmptyListOf(for {
+      s <- Gen.chooseNum(0, 60)
+      d <- Gen.chooseNum(1, 20)
+    } yield (s, s + d))
+
+  // The sweep-line concurrency (ts_concurrent_intervals' kernel) must
+  // equal the brute-force point-wise count at EVERY day: exploding
+  // endpoints into +1/-1 deltas and running-summing is only correct if
+  // half-open [s, e) semantics survive the day-grouping.
+  property("sweep-line concurrency equals brute-force point-wise counts") =
+    forAllNoShrink(genIntervals) { iv =>
+      import spark.implicits._
+      val deltas = iv.flatMap { case (s, e) => Seq((s, 1L), (e, -1L)) }
+        .toDF("d", "delta")
+        .groupBy("d").agg(sum("delta").as("net"))
+      val w = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val swept = deltas.withColumn("active", sum("net").over(w))
+        .select("d", "active")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      swept.forall { case (d, active) =>
+        active == iv.count { case (s, e) => s <= d && d < e }
+      }
+    }
 }

@@ -231,6 +231,27 @@ class Round11OpsSpec extends SparkSpec {
     assert(Sinks.poRead(spark, root).count() == total)
   }
 
+  test("theta intersection estimates match exact audience overlaps") {
+    import org.apache.spark.sql.functions._
+    val rows = Aggregations.aggThetaIntersect(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty, "need >=2 event types for intersections")
+    val ev = graft.Tables.events(spark, sf001)
+      .select("event_type", "user_id").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byType = ev.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { case (a, b, estA, estB, estI) =>
+      val (exA, exB) = (byType(a).size.toLong, byType(b).size.toLong)
+      val exI = (byType(a) & byType(b)).size.toLong
+      def within5(est: Long, exact: Long) =
+        math.abs(est - exact) <= math.max(1L, math.ceil(0.05 * exact).toLong)
+      assert(within5(estA, exA), s"$a: est $estA vs exact $exA")
+      assert(within5(estB, exB), s"$b: est $estB vs exact $exB")
+      assert(within5(estI, exI), s"$a∩$b: est $estI vs exact $exI")
+      assert(exI > 0, "fixture must have overlapping audiences")
+    }
+  }
+
   test("merged KLL quantiles land within 2% of exact p50/p90") {
     val row = Aggregations.aggQuantileMerge(spark, sf001).collect()(0)
     assert(row.getLong(0) > 1, "need >1 day for the merge to be meaningful")
