@@ -237,16 +237,39 @@ object Aggregations {
         col("sum_qty"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** GROUPING() / GROUPING_ID() disambiguation — the principled answer to
+    * the rollup NULL problem the coalesce-sentinel rows (aggRollup,
+    * aggCube) work around: a rolled-up key level is indistinguishable
+    * from a genuinely-NULL key value unless the grouping bitmask says
+    * which it is. Emits the bitmask (leftmost column = most significant
+    * bit, the convention both engines share) and per-column grouping
+    * flags alongside the aggregate; sentinels remain only to keep the
+    * total order engine-stable. Same partial→final rollup shape as
+    * agg_rollup. */
+  def aggGroupingId(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(grouping_id().cast("long").as("gid"),
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("_all_")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("_all_")).as("l_linestatus"),
+        col("gid"), col("g_rf"), col("g_ls"), col("sum_qty"))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+
   /** GROUPING SETS ((c_mktsegment), (n_name), ()) via Spark 4's native
     * `Dataset.groupingSets` (pre-4.0 the DataFrame API had no grouping-sets
     * method, making this the one forced SQL-parser entry). Grouping sets no
     * longer need the parser; the repo's surviving `spark.sql` QUERY-
     * EXPRESSION sites are deliberate: `aggRollup` above (documented
     * workaround for the DataFrame-API ambiguous-self-join misfire on
-    * rollup-over-join) and the three Composite rows whose entire point is
+    * rollup-over-join) and the four Composite rows whose entire point is
     * the SQL surface — `sqlCorrelatedSubquery` (decorrelation),
     * `sqlRecursiveCte` (WITH RECURSIVE / UnionLoop), `sqlLateralJoin`
-    * (LATERAL + correlated ORDER BY/LIMIT). (Sinks.sinkBucketedJoin also
+    * (LATERAL + correlated ORDER BY/LIMIT), `sqlNotInNull` (NOT IN
+    * three-valued logic — subquery-IN has no DataFrame form).
+    * (Sinks.sinkBucketedJoin also
     * calls `spark.sql` twice, but for `DROP TABLE IF EXISTS` catalog DDL,
     * not query expressions.) */
   def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
@@ -451,6 +474,7 @@ object Aggregations {
     "agg_cms_merge" -> aggCmsMerge,
     "agg_theta_intersect" -> aggThetaIntersect,
     "agg_rollup" -> aggRollup,
+    "agg_grouping_id" -> aggGroupingId,
     "agg_cube" -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_having" -> aggHaving,
@@ -543,6 +567,16 @@ object Aggregations {
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "agg_grouping_id" ->
+      """SELECT coalesce(l_returnflag, '_all_') AS l_returnflag,
+        |  coalesce(l_linestatus, '_all_') AS l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
     "agg_rollup" ->
       """SELECT coalesce(r_name, '__all__') AS r_name,
         |  coalesce(n_name, '__all__') AS n_name,

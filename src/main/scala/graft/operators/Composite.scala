@@ -222,7 +222,37 @@ object Composite {
       .orderBy("l_returnflag", "measure")
   }
 
+  /** NOT IN three-valued logic — the classic SQL correctness trap, pinned
+    * on BOTH engines: a NULL in the subquery's result makes `x NOT IN (…)`
+    * UNKNOWN for every x, so the count collapses to 0, while the
+    * NOT EXISTS form (and NOT IN over the NULL-filtered set) returns the
+    * real anti-join count. One row, three counts: the broken formulation,
+    * the correct one, and the filtered fix — a user migrating NOT IN
+    * pipelines needs the engine to honor ANSI semantics, not "fix" them.
+    * Runs through spark.sql (subquery-IN has no DataFrame form — see the
+    * aggGroupingSets note's site enumeration); all three subqueries plan
+    * as null-aware anti joins / anti joins over the same broadcastable
+    * set. */
+  def sqlNotInNull(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("nin_orders")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("nin_customer")
+    spark.sql(
+      """WITH s AS (
+        |  SELECT CASE WHEN c_custkey % 100 = 7 THEN NULL ELSE c_custkey END AS k
+        |  FROM nin_customer)
+        |SELECT
+        |  (SELECT count(*) FROM nin_orders
+        |     WHERE o_custkey NOT IN (SELECT k FROM s)) AS n_not_in,
+        |  (SELECT count(*) FROM nin_orders o WHERE NOT EXISTS
+        |     (SELECT 1 FROM s WHERE s.k = o.o_custkey)) AS n_not_exists,
+        |  (SELECT count(*) FROM nin_orders
+        |     WHERE o_custkey NOT IN (SELECT k FROM s WHERE k IS NOT NULL))
+        |    AS n_not_in_filtered""".stripMargin)
+      .orderBy("n_not_in")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_not_in_null" -> sqlNotInNull,
     "sql_unpivot" -> sqlUnpivot,
     "q10_returned_items" -> q10ReturnedItems,
     "q18_large_volume" -> q18LargeVolume,
@@ -237,6 +267,18 @@ object Composite {
   )
 
   val oracles: Map[String, String] = Map(
+    "sql_not_in_null" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN c_custkey % 100 = 7 THEN NULL ELSE c_custkey END AS k
+        |  FROM customer)
+        |SELECT
+        |  (SELECT count(*) FROM orders
+        |     WHERE o_custkey NOT IN (SELECT k FROM s)) AS n_not_in,
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |     (SELECT 1 FROM s WHERE s.k = o.o_custkey)) AS n_not_exists,
+        |  (SELECT count(*) FROM orders
+        |     WHERE o_custkey NOT IN (SELECT k FROM s WHERE k IS NOT NULL))
+        |    AS n_not_in_filtered""".stripMargin,
     "sql_unpivot" ->
       """WITH wide AS (
         |  SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,

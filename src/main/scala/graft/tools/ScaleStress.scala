@@ -119,7 +119,10 @@ object ScaleStress {
     "evt_pattern_match",
     // theta set-algebra: one sketch pass + sketch-count merges — the
     // sketch-once/merge-small shape held to a ratio like the CMS row
-    "agg_theta_intersect")
+    "agg_theta_intersect",
+    // grouping-id rollup (Expand + partial agg) and the NOT IN
+    // three-valued-logic row (three [null-aware] anti joins)
+    "agg_grouping_id", "sql_not_in_null")
 
   /** Per-query sweep ceilings for operators whose work is super-linear BY
     * DECLARATION, so running them at every scale proves nothing new and
