@@ -135,6 +135,34 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** NEAREST as-of join — pandas merge_asof(direction='nearest'), the
+    * directional complement of `join_asof`'s backward lookup: per purchase
+    * event, the same user's order whose date is CLOSEST to the event in
+    * EITHER direction (the right semantic when the reference series may
+    * lag or lead, e.g. settlement records around a trade). Distance is
+    * integer days (datediff on the truncated date — exact on both
+    * engines); ties break earlier-date-first (so an equidistant
+    * before/after pair resolves to the BEFORE match, agreeing with the
+    * backward join), then smallest key. Same plan shape as join_asof: one
+    * equi-join on the user key + a min_by partial aggregate — no window
+    * re-sort, no direction filter on the join (the aggregate does the
+    * selection). */
+  def joinAsofNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_ntz", "epoch_us")
+    val o = Tables.orders(spark, sfDir)
+    ev.join(o, ev("user_id") === o("o_custkey"))
+      .withColumn("dist",
+        abs(datediff(col("o_orderdate"), to_date(col("ts_ntz")))).cast("long"))
+      .groupBy("event_id", "epoch_us")
+      .agg(min_by(struct(col("o_orderkey"), col("o_orderdate"), col("dist")),
+        struct(col("dist"), col("o_orderdate"), col("o_orderkey"))).as("w"))
+      .select(col("event_id"), col("epoch_us"),
+        col("w.o_orderkey").as("o_orderkey"), col("w.o_orderdate").as("o_orderdate"),
+        col("w.dist").as("dist_days"))
+      .orderBy("event_id")
+  }
+
   /** Interval join on a shared timeline: per purchase event, count error
     * events of the same user in the preceding hour (long microsecond
     * arithmetic on both engines — exact). */
@@ -420,6 +448,7 @@ object Joins {
     "join_cross" -> joinCross,
     "join_theta_range" -> joinThetaRange,
     "join_asof" -> joinAsof,
+    "join_asof_nearest" -> joinAsofNearest,
     "join_interval" -> joinInterval,
   )
 
@@ -502,6 +531,17 @@ object Joins {
         |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
         |  FROM events e JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+        |  WHERE e.event_type = 'purchase'
+        |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "join_asof_nearest" ->
+      """SELECT event_id, epoch_us, o_orderkey, o_orderdate, dist AS dist_days
+        |FROM (
+        |  SELECT e.event_id, epoch_us(e.ts) AS epoch_us, o.o_orderkey, o.o_orderdate,
+        |    CAST(abs(datediff('day', CAST(e.ts AS DATE), o.o_orderdate)) AS BIGINT) AS dist,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY abs(datediff('day', CAST(e.ts AS DATE), o.o_orderdate)),
+        |               o.o_orderdate, o.o_orderkey) AS rn
+        |  FROM events e JOIN orders o ON e.user_id = o.o_custkey
         |  WHERE e.event_type = 'purchase'
         |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "join_interval" ->

@@ -122,7 +122,10 @@ object ScaleStress {
     "agg_theta_intersect",
     // grouping-id rollup (Expand + partial agg) and the NOT IN
     // three-valued-logic row (three [null-aware] anti joins)
-    "agg_grouping_id", "sql_not_in_null")
+    "agg_grouping_id", "sql_not_in_null",
+    // nearest as-of: same equi-join + partial-aggregate shape as
+    // join_asof, held to the same ratio class
+    "join_asof_nearest")
 
   /** Per-query sweep ceilings for operators whose work is super-linear BY
     * DECLARATION, so running them at every scale proves nothing new and

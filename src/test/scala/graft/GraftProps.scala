@@ -184,4 +184,30 @@ object GraftProps extends Properties("graft") {
         active == iv.count { case (s, e) => s <= d && d < e }
       }
     }
+
+  private val genEvtSeq =
+    Gen.nonEmptyListOf(Gen.oneOf('V', 'C', 'P', 'O')).map(_.mkString)
+
+  // evt_pattern_match counts `VC*P` with regexp_count; its oracle relies
+  // on Java-regex and RE2 agreeing for this alternation-free pattern. Pin
+  // the Spark side to the reference semantics: non-overlapping,
+  // left-to-right, greedy-C* funnel counting.
+  property("funnel pattern count equals the hand-rolled non-overlapping scan") =
+    forAllNoShrink(genEvtSeq) { s =>
+      import spark.implicits._
+      def scan(str: String): Long = {
+        var i = 0; var n = 0L
+        while (i < str.length) {
+          if (str(i) == 'V') {
+            var j = i + 1
+            while (j < str.length && str(j) == 'C') j += 1
+            if (j < str.length && str(j) == 'P') { n += 1; i = j + 1 } else i += 1
+          } else i += 1
+        }
+        n
+      }
+      Seq(s).toDF("seq")
+        .select(regexp_count(col("seq"), lit("VC*P")).cast("long"))
+        .head().getLong(0) == scan(s)
+    }
 }
