@@ -239,7 +239,33 @@ object EventTime {
       .orderBy("user_id")
   }
 
+  /** Rolling active users (DAU / WAU) — the engagement-dashboard staple:
+    * distinct users per day, and per 7-day trailing window ending each
+    * day. Exact rolling DISTINCT cannot ride a running aggregate
+    * (distinct doesn't decompose), so the distributed-exact form is the
+    * EXPLODE-FANOUT: dedup to (day, user) once, fan each pair to the 7
+    * window-end days it supports (a fixed ×7 row fanout of the ALREADY
+    * DEDUPED day grain — bounded by days×users, not events), and
+    * count-distinct per window-end day. At 100 TB the same shape swaps
+    * the exact distinct for per-day HLL sketches unioned across the
+    * window (agg_hll_merge is that primitive); here the exact form is the
+    * oracle-checkable one. Window-end days past the last active day keep
+    * their trailing count with dau = 0 (the dashboard's tail). */
+  def evtRollingActives(spark: SparkSession, sfDir: String): DataFrame = {
+    val du = Tables.events(spark, sfDir)
+      .select(to_date(col("ts_ntz")).as("day"), col("user_id")).distinct()
+    val dau = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val wau = du
+      .select(explode(sequence(col("day"), date_add(col("day"), 6),
+        expr("interval 1 day"))).as("wday"), col("user_id"))
+      .groupBy("wday").agg(countDistinct("user_id").as("wau"))
+    wau.join(dau, wau("wday") === dau("day"), "left")
+      .select(col("wday").as("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"))
+      .orderBy("day")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_rolling_actives" -> evtRollingActives,
     "evt_pattern_match" -> evtPatternMatch,
     "evt_cohort_ltv" -> evtCohortLtv,
     "evt_attribution" -> evtAttribution,
@@ -254,6 +280,18 @@ object EventTime {
   )
 
   val oracles: Map[String, String] = Map(
+    "evt_rolling_actives" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY day),
+        |fan AS (
+        |  SELECT CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+        |    INTERVAL 1 DAY)) AS DATE) AS wday, user_id
+        |  FROM du),
+        |wau AS (SELECT wday, count(DISTINCT user_id) AS wau FROM fan GROUP BY wday)
+        |SELECT w.wday AS day, coalesce(d.dau, 0) AS dau, w.wau
+        |FROM wau w LEFT JOIN dau d ON w.wday = d.day
+        |ORDER BY day""".stripMargin,
     "evt_pattern_match" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS e_us, event_id,

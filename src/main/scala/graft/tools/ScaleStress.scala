@@ -125,7 +125,10 @@ object ScaleStress {
     "agg_grouping_id", "sql_not_in_null",
     // nearest as-of: same equi-join + partial-aggregate shape as
     // join_asof, held to the same ratio class
-    "join_asof_nearest")
+    "join_asof_nearest",
+    // rolling actives: fixed x7 fanout of the deduped day grain — the
+    // explode-fanout rolling-distinct shape held to a ratio
+    "evt_rolling_actives")
 
   /** Per-query sweep ceilings for operators whose work is super-linear BY
     * DECLARATION, so running them at every scale proves nothing new and
