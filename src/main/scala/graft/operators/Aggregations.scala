@@ -161,8 +161,11 @@ object Aggregations {
     * builds a compact sketch per (event_type, partition) — the union
     * stage then merges sketch-count rows, never raw rows (the same
     * sketch-once/merge-small discipline as agg_cms_merge) — and the
-    * pairwise intersections run on the ≤|types| merged sketches, a
-    * bounded planning set (collected like sinkCompaction's bounds row).
+    * pairwise intersections run as a self-join over the ≤|types| merged
+    * sketch rows (broadcast nested-loop on a planning-sized relation), so
+    * the whole query stays one lazy plan: resolving the def builds no
+    * jobs, unlike the round-11 version which collected the sketches
+    * during construction (round-11 advisory).
     * At the spec SFs the sketches are in exact mode (distinct users ≪
     * k=4096) so estimates are exact; Round11OpsSpec asserts ±5% against
     * exact distinct/intersection counts either way. No oracle (sketch
@@ -182,19 +185,22 @@ object Aggregations {
     val thetaUnion = udaf(graft.functions.ThetaUnionAgg)
     val merged = parts.groupBy("event_type")
       .agg(thetaUnion(col("sk")).as("sk"))
-      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
-    val pairs = merged.keys.toSeq.sorted.combinations(2).map { case Seq(a, b) =>
+    val estOne = udf((sk: Array[Byte]) =>
+      math.round(graft.functions.ThetaUnionAgg.estimate(sk)))
+    val estIntersect = udf((a: Array[Byte], b: Array[Byte]) => {
       val i = org.apache.datasketches.theta.SetOperation.builder().buildIntersection()
       i.intersect(org.apache.datasketches.theta.Sketches
-        .heapifyCompactSketch(org.apache.datasketches.memory.Memory.wrap(merged(a))))
+        .heapifyCompactSketch(org.apache.datasketches.memory.Memory.wrap(a)))
       i.intersect(org.apache.datasketches.theta.Sketches
-        .heapifyCompactSketch(org.apache.datasketches.memory.Memory.wrap(merged(b))))
-      (a, b,
-        math.round(graft.functions.ThetaUnionAgg.estimate(merged(a))),
-        math.round(graft.functions.ThetaUnionAgg.estimate(merged(b))),
-        math.round(i.getResult.getEstimate))
-    }.toSeq
-    pairs.toDF("type_a", "type_b", "est_a", "est_b", "est_intersect")
+        .heapifyCompactSketch(org.apache.datasketches.memory.Memory.wrap(b)))
+      math.round(i.getResult.getEstimate)
+    })
+    val lhs = merged.select(col("event_type").as("type_a"), col("sk").as("ska"))
+    val rhs = merged.select(col("event_type").as("type_b"), col("sk").as("skb"))
+    lhs.join(rhs, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        estOne(col("ska")).as("est_a"), estOne(col("skb")).as("est_b"),
+        estIntersect(col("ska"), col("skb")).as("est_intersect"))
       .orderBy("type_a", "type_b")
   }
 

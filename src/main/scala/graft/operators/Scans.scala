@@ -67,6 +67,14 @@ object Scans {
     root
   }
 
+  /** Collision-free per-sfDir subdirectory key: the sanitized FULL path,
+    * not a 32-bit hashCode — two distinct sfDirs can share an Int hash
+    * (and `math.abs(Int.MinValue)` is negative), which would silently
+    * rebind one dataset's lazily-read sink dir to another's data — the
+    * exact cross-dataset bug per-sfDir keying exists to prevent. */
+  private[operators] def dirKey(sfDir: String): String =
+    sfDir.replaceAll("[^A-Za-z0-9]", "_")
+
   def sourceCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val tmp = s"${tmpRoot(spark)}/roundtrip"
     val sample = Tables.lineitem(spark, sfDir)
@@ -131,7 +139,7 @@ object Scans {
     // per-sfDir subdir (as sinkBucketedJoin): the returned DataFrame reads
     // this path lazily, so a shared dir would rebind an earlier sfDir's
     // plan to the latest data in multi-dataset sessions (ScaleStress)
-    val tmp = s"${tmpRoot(spark)}/dpp_orders_${math.abs(sfDir.hashCode)}"
+    val tmp = s"${tmpRoot(spark)}/dpp_orders_${dirKey(sfDir)}"
     Tables.orders(spark, sfDir)
       .withColumn("o_year", year(col("o_orderdate")))
       .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
@@ -182,15 +190,22 @@ object Scans {
     * layout is the point: binaryFile lists/splits by object,
     * `pathGlobFilter` prunes, and payload bytes never touch a shuffle
     * (features extract in the scan's mapPartitions). File writes happen
-    * executor-side (foreachPartition), one pass, idempotent per path. */
+    * executor-side (foreachPartition), one pass, idempotent per path,
+    * THROUGH the Hadoop FileSystem API — executors resolve the object
+    * path against the deployed fs.defaultFS, so on a real cluster the
+    * objects land on the shared store the driver-side binaryFile read
+    * lists, not on per-executor local disks (java.nio writes would —
+    * round-11 advisory; in local[_] both resolve to the same local FS). */
   def sourceBinaryFiles(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = s"${tmpRoot(spark)}/binfiles_${math.abs(sfDir.hashCode)}"
+    val dir = s"${tmpRoot(spark)}/binfiles_${dirKey(sfDir)}"
     new java.io.File(dir).mkdirs()
     MultimodalOps.pack(MultimodalOps.fromDocuments(spark, sfDir))
       .foreachPartition { (it: Iterator[MediaRecord]) =>
+        val base = new org.apache.hadoop.fs.Path(dir)
+        val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
         it.foreach { r =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(s"$dir/${r.doc_id}.grft"), r.payload)
+          val out = fs.create(new org.apache.hadoop.fs.Path(base, s"${r.doc_id}.grft"), true)
+          try out.write(r.payload) finally out.close()
         }
       }
     val bin = spark.read.format("binaryFile")

@@ -337,7 +337,7 @@ object Sinks {
     * paths are per-sfDir so multi-dataset sessions (ScaleStress) don't
     * cross-contaminate; tmpRoot cleans up on JVM exit. */
   def sinkBucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val suffix = math.abs(sfDir.hashCode).toString
+    val suffix = Scans.dirKey(sfDir)
     val (liT, ordT) = (s"graft_li_b_$suffix", s"graft_ord_b_$suffix")
     val root = s"${Scans.tmpRoot(spark)}/bucketed_$suffix"
     spark.sql(s"DROP TABLE IF EXISTS $liT")
@@ -374,7 +374,7 @@ object Sinks {
     // per-sfDir subdir (as sinkBucketedJoin): the returned DataFrame reads
     // these paths lazily, so a shared dir would rebind an earlier sfDir's
     // plan to the latest data in multi-dataset sessions (ScaleStress)
-    val root = s"${Scans.tmpRoot(spark)}/evolve_${math.abs(sfDir.hashCode)}"
+    val root = s"${Scans.tmpRoot(spark)}/evolve_${Scans.dirKey(sfDir)}"
     val o = Tables.orders(spark, sfDir)
     o.filter(col("o_orderkey") % 2 === 0)
       .select("o_orderkey", "o_totalprice")
@@ -387,8 +387,15 @@ object Sinks {
       .orderBy("o_orderkey")
   }
 
-  /** File count for the deletion-vector table's immutable data files. */
-  private[operators] val DvFiles = 8
+  /** File count for the deletion-vector table's immutable data files —
+    * the same bytes/target rule as `zorderFiles` (8 at the oracle SFs via
+    * the floor, growing with the corpus beyond). The previous fixed `= 8`
+    * pin funneled 100× rows through 8 write tasks — the round-11 sweep
+    * measured that as a ×12.7 wall-clock outlier on sink_delete_vectors,
+    * the same pathology the round-6 sweep caught on the then-fixed zorder
+    * knob. */
+  private[operators] def dvFiles(spark: SparkSession, sfDir: String): Int =
+    zorderFiles(spark, sfDir)
 
   /** The deterministic DELETE predicate — ~1% of rows, spread across every
     * file so each data file gets a non-trivial deletion vector. */
@@ -397,7 +404,7 @@ object Sinks {
   /** Per-sfDir root for the DV table (the returned DataFrame reads these
     * paths lazily — see sinkSchemaEvolution's rebinding note). */
   private[operators] def dvRoot(spark: SparkSession, sfDir: String): String =
-    s"${Scans.tmpRoot(spark)}/dv_${math.abs(sfDir.hashCode)}"
+    s"${Scans.tmpRoot(spark)}/dv_${Scans.dirKey(sfDir)}"
 
   /** Step 1 — the immutable data files. Written once; the DELETE below
     * never touches them again (the spec snapshots (name, length, mtime)
@@ -408,7 +415,7 @@ object Sinks {
   private def dvWriteDataAt(spark: SparkSession, sfDir: String, root: String): String = {
     Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-      .repartitionByRange(DvFiles, col("l_orderkey"))
+      .repartitionByRange(dvFiles(spark, sfDir), col("l_orderkey"))
       .write.mode("overwrite").parquet(s"$root/data")
     root
   }
@@ -461,7 +468,8 @@ object Sinks {
 
   /** Row-level DELETE via positional deletion vectors — the merge-on-read
     * maintenance primitive (Iceberg v2 / Delta DVs): lineitem written as
-    * `DvFiles` immutable files, the delete materialized as a per-file
+    * `dvFiles(...)` (bytes-scaled) immutable files, the delete
+    * materialized as a per-file
     * sorted-position sidecar, and the read answering as if the rows were
     * gone WITHOUT any data file being rewritten. The DuckDB oracle checks
     * the logical claim (result ≡ plain `WHERE NOT predicate` over the
@@ -478,7 +486,7 @@ object Sinks {
     * purge fixture and sink_delete_vectors cannot clobber each other's
     * sidecars inside one session. */
   private[operators] def dvpRoot(spark: SparkSession, sfDir: String): String =
-    s"${Scans.tmpRoot(spark)}/dvp_${math.abs(sfDir.hashCode)}"
+    s"${Scans.tmpRoot(spark)}/dvp_${Scans.dirKey(sfDir)}"
 
   /** Rewrite a file once its deletion vector covers this fraction of its
     * rows — the knob every merge-on-read engine exposes (Delta's DV purge,
@@ -516,7 +524,8 @@ object Sinks {
     * (dv2/). Kept data files are not touched — the whole point: purge cost
     * is O(heavily-deleted files), not a table rewrite, and read-side
     * anti-join work drops back to the light DVs. The per-file stats and
-    * path lists are ≤ DvFiles rows — bounded planning lists (precedent:
+    * path lists are ≤ the bytes-scaled file count (8 at the oracle SFs,
+    * ~bytes/1.4 MB beyond — still planning-sized) — bounded planning lists (precedent:
     * sink_manifest_prune's capped manifest collect). Returns
     * (purged, kept) original file paths; original purged files stay on
     * disk awaiting vacuum, exactly like sink_time_travel's old snapshots.
@@ -543,8 +552,8 @@ object Sinks {
     (purgedPaths, keptPaths)
   }
 
-  /** Per-file deleted fraction (spec hook — the same ≤ DvFiles-row stats
-    * the purge decision reads). */
+  /** Per-file deleted fraction (spec hook — the same file-count-bounded
+    * stats the purge decision reads). */
   private[operators] def dvFileFractions(spark: SparkSession, root: String): Map[String, Double] = {
     val rows = dvScan(spark, root).groupBy(col("_f")).agg(count(lit(1)).as("n"))
     val dels = spark.read.parquet(s"$root/dv")
@@ -582,7 +591,7 @@ object Sinks {
     * the logical claim — the post-purge read ≡ a plain `WHERE NOT
     * (accumulated predicate)` over the table, INDEPENDENT of which files
     * the threshold selected; Round11OpsSpec asserts the physical half
-    * (kept files byte/mtime-identical, 1 ≤ rewritten < DvFiles, purged
+    * (kept files byte/mtime-identical, 1 ≤ rewritten < file count, purged
     * files' fractions ≥ τ > kept files', dv2 restricted to kept files —
     * not observable from SQL). */
   def sinkDvPurge(spark: SparkSession, sfDir: String): DataFrame = {
@@ -594,7 +603,7 @@ object Sinks {
   /** Per-sfDir root for the partition-overwrite table (same per-sfDir
     * keying rationale as dvRoot/dvpRoot). */
   private[operators] def poRoot(spark: SparkSession, sfDir: String): String =
-    s"${Scans.tmpRoot(spark)}/po_${math.abs(sfDir.hashCode)}"
+    s"${Scans.tmpRoot(spark)}/po_${Scans.dirKey(sfDir)}"
 
   /** The partitioned base projection: orders keyed by order-year, the
     * layout a daily/yearly batch job overwrites incrementally. */
@@ -653,17 +662,19 @@ object Sinks {
     poRead(spark, root).orderBy("o_orderkey")
   }
 
-  /** File count for the clustered copy — same sizing note as DvFiles. */
-  private[operators] val ClusterFiles = 8
+  /** File count for the clustered copy — bytes-scaled like `dvFiles`
+    * (fixed 8 measured ×13.4 at 100× in the round-11 sweep). */
+  private[operators] def clusterFiles(spark: SparkSession, sfDir: String): Int =
+    zorderFiles(spark, sfDir)
 
   /** The clustered copy: lineitem rewritten range-partitioned + sorted on
     * the AGGREGATION key. Narrow projection (the three agg inputs), so the
     * rewrite cost is the clustered columns, not the full table. */
   private[operators] def clusteredCopy(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = s"${Scans.tmpRoot(spark)}/clustered_${math.abs(sfDir.hashCode)}"
+    val out = s"${Scans.tmpRoot(spark)}/clustered_${Scans.dirKey(sfDir)}"
     Tables.lineitem(spark, sfDir)
       .select("l_suppkey", "l_extendedprice", "l_discount")
-      .repartitionByRange(ClusterFiles, col("l_suppkey"))
+      .repartitionByRange(clusterFiles(spark, sfDir), col("l_suppkey"))
       .sortWithinPartitions("l_suppkey")
       .write.mode("overwrite").parquet(out)
     spark.read.parquet(out)

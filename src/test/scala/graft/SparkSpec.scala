@@ -17,6 +17,9 @@ trait SparkSpec extends AnyFunSuite {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+  // Naming: the val drops the decimal point, NOT a digit — sf001 is
+  // scale factor 0.001, sf01 is 0.01 (a round-11 advisory misread sf01
+  // as sf0.1; any spec comment citing a scale factor means these paths).
   val sf001 = "/root/testdata/sf0.001"
   val sf01 = "/root/testdata/sf0.01"
 }
