@@ -41,6 +41,40 @@ object Aggregations {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** Exact-decimal twin of the flagship pricing summary — DECIMAL(18,2)
+    * money math end-to-end, hash-matched against DuckDB with NO round()
+    * anywhere (the ⚠L3 rounding convention exists for DOUBLE-typed rows;
+    * this row retires it where a finance user cares most). Every source
+    * measure is exactly 2-decimal (probed: max|x - round(x,2)| = 0 on all
+    * three SFs), so the double→decimal cast is tie-free and identical on
+    * both engines; intermediates are sized to stay inside DECIMAL(38,_)
+    * — ext DEC(12,2) × (1−disc) DEC(4,2) → DEC(17,4), × (1+tax) DEC(4,2)
+    * → DEC(22,6) — so Spark never enters its precision-loss path and
+    * every sum is EXACT (decimal sums are order-independent, unlike the
+    * double rows' shuffle-order 1e-9 drift). Final casts pin both engines
+    * to the same output dtypes (the gate is type-strict). Same plan shape
+    * as the flagship: partial hash agg, one shuffle on the group keys. */
+  def aggPricingDecimal(spark: SparkSession, sfDir: String): DataFrame = {
+    val one = lit(1).cast("decimal(1,0)")
+    val ext = col("l_extendedprice").cast("decimal(12,2)")
+    val disc = col("l_discount").cast("decimal(3,2)")
+    val tax = col("l_tax").cast("decimal(3,2)")
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("decimal(12,2)").as("qty"),
+        ext.as("ext"),
+        (ext * (one - disc)).as("disc_price"),
+        (ext * (one - disc) * (one + tax)).as("charge"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("qty").cast("decimal(38,2)").as("sum_qty"),
+        sum("ext").cast("decimal(38,2)").as("sum_base_price"),
+        sum("disc_price").cast("decimal(38,4)").as("sum_disc_price"),
+        sum("charge").cast("decimal(38,6)").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   /** Distribution stats per event_type (min/max are selections — exact;
     * moments rounded). */
   def aggMultiStats(spark: SparkSession, sfDir: String): DataFrame =
@@ -465,6 +499,7 @@ object Aggregations {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_pricing_summary" -> aggPricingSummary,
+    "q1_decimal" -> aggPricingDecimal,
     "agg_incremental" -> aggIncremental,
     "agg_freq_items" -> aggFreqItems,
     "agg_mode" -> aggMode,
@@ -522,6 +557,20 @@ object Aggregations {
         |      ORDER BY count(*) DESC, l_quantity ASC) AS rn
         |  FROM lineitem GROUP BY l_returnflag, l_quantity) WHERE rn = 1
         |ORDER BY l_returnflag""".stripMargin,
+    // q1_decimal: NO round() anywhere — exact decimal arithmetic must
+    // hash-match bit-for-bit; only the final output dtypes are pinned.
+    "q1_decimal" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(3,2)))
+        |    * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DECIMAL(38,6)) AS sum_charge,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
