@@ -216,12 +216,19 @@ object EventTime {
     * ordered-sequence-string + regex idiom: each user's event stream
     * collapses to one character per event (V/C/P/O, ordered by
     * (epoch_us, event_id) — a unique total order, so the string is
-    * deterministic on both engines) and the funnel pattern `VC*P` (a view,
-    * any clicks, then a purchase) is counted with non-overlapping
-    * left-to-right regex semantics, identical for this alternation-free
-    * pattern under Java regex and RE2. One shuffle on user_id; per-user
-    * strings are bounded by per-entity history (the synth invariant —
-    * entity count grows, per-entity history does not). */
+    * deterministic on both engines) and two funnel patterns are counted
+    * with non-overlapping left-to-right regex semantics: `VC*P` (a view,
+    * any clicks, then a purchase — alternation-free, Java regex and RE2
+    * trivially agree) and the ALTERNATION+quantifier form `V(C|O)*P` (any
+    * mix of clicks and other events between view and purchase). The
+    * alternation is safe across engines because the match span is forced:
+    * the (C|O) run can contain no P, so a backtracking engine can never
+    * shorten a greedy match into success where an automaton engine
+    * wouldn't — GraftProps pins both counts to an explicit hand-rolled
+    * scan over generated sequences, and the oracle hash-gates Spark vs
+    * RE2 on the real data. One shuffle on user_id; per-user strings are
+    * bounded by per-entity history (the synth invariant — entity count
+    * grows, per-entity history does not). */
   def evtPatternMatch(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), col("epoch_us"), col("event_id"),
@@ -235,7 +242,8 @@ object EventTime {
           array_sort(collect_list(struct(col("epoch_us"), col("event_id"), col("chr")))),
           x => x.getField("chr")), "").as("seq"))
       .select(col("user_id"), col("n_events"),
-        regexp_count(col("seq"), lit("VC*P")).cast("long").as("n_patterns"))
+        regexp_count(col("seq"), lit("VC*P")).cast("long").as("n_patterns"),
+        regexp_count(col("seq"), lit("V(C|O)*P")).cast("long").as("n_alt_patterns"))
       .orderBy("user_id")
   }
 
@@ -303,7 +311,8 @@ object EventTime {
         |    string_agg(chr, '' ORDER BY e_us, event_id) AS seq
         |  FROM e GROUP BY user_id)
         |SELECT user_id, n_events,
-        |  CAST(len(regexp_extract_all(seq, 'VC*P')) AS BIGINT) AS n_patterns
+        |  CAST(len(regexp_extract_all(seq, 'VC*P')) AS BIGINT) AS n_patterns,
+        |  CAST(len(regexp_extract_all(seq, 'V(C|O)*P')) AS BIGINT) AS n_alt_patterns
         |FROM s ORDER BY user_id""".stripMargin,
     "evt_cohort_ltv" ->
       """WITH signup AS (

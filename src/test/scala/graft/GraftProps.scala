@@ -210,4 +210,30 @@ object GraftProps extends Properties("graft") {
         .select(regexp_count(col("seq"), lit("VC*P")).cast("long"))
         .head().getLong(0) == scan(s)
     }
+
+  // The round-12 alternation extension `V(C|O)*P`: alternation inside a
+  // greedy quantifier is where a backtracking engine (Java regex) and an
+  // automaton engine (RE2) could drift; for THIS pattern the match span
+  // is forced — the (C|O) run can contain no P, so backtracking can never
+  // shorten a greedy match into success an automaton wouldn't find. Pin
+  // Spark's count to the explicit non-overlapping scan; the oracle
+  // hash-gate pins Spark vs RE2 on the real data.
+  property("alternation funnel count equals the hand-rolled scan") =
+    forAllNoShrink(genEvtSeq) { s =>
+      import spark.implicits._
+      def scan(str: String): Long = {
+        var i = 0; var n = 0L
+        while (i < str.length) {
+          if (str(i) == 'V') {
+            var j = i + 1
+            while (j < str.length && (str(j) == 'C' || str(j) == 'O')) j += 1
+            if (j < str.length && str(j) == 'P') { n += 1; i = j + 1 } else i += 1
+          } else i += 1
+        }
+        n
+      }
+      Seq(s).toDF("seq")
+        .select(regexp_count(col("seq"), lit("V(C|O)*P")).cast("long"))
+        .head().getLong(0) == scan(s)
+    }
 }
