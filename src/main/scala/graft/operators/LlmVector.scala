@@ -295,6 +295,7 @@ object LlmVector {
   private[graft] def releaseCellCache(spark: SparkSession): Unit = {
     cellMemo.release(spark)
     topkMemo.release(spark)
+    pqMemo.release(spark)
   }
 
   private def cellScored(spark: SparkSession, sfDir: String): DataFrame =
@@ -344,17 +345,23 @@ object LlmVector {
       .withColumn("vcell", col("label").cast("long") * 256L + bucketCol(col("b_bits")))
   }
 
-  private def buildCellScored(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-cell rounded centroids (cell, centroid float[], centroid_nrm) —
+    * shared by the scored-cell cache build and the IVF-PQ residual coder
+    * (same expressions, so the two consumers cannot drift). */
+  private def centroidRelation(spark: SparkSession, sfDir: String): DataFrame = {
     val e = cellAssigned(spark, sfDir)
     val sums = (0 until Dim).map(i =>
       sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i"))
-    val centroids = e
-      .groupBy(col("vcell").as("cell"))
+    e.groupBy(col("vcell").as("cell"))
       .agg(count(lit(1)).as("n"), sums: _*)
       .select(col("cell"), array((0 until Dim).map(i =>
         round(col(s"s$i") / col("n"), 4).cast("float")): _*).as("centroid"))
       // norm once per centroid BEFORE the broadcast, not once per (vector, cell) pair
       .withColumn("centroid_nrm", norm("centroid"))
+  }
+
+  private def buildCellScored(spark: SparkSession, sfDir: String): DataFrame = {
+    val centroids = centroidRelation(spark, sfDir)
     // The whole index as ONE row of three parallel cell-ascending arrays
     // (ids, row-major flattened centroids, norms): k·(8+4·Dim+8) bytes —
     // ~700 KB at the 2560-cell cap, a dimension table. Flat primitive
@@ -461,6 +468,141 @@ object LlmVector {
   def llmAnnIvf(spark: SparkSession, sfDir: String): DataFrame =
     annTopkCore(spark, sfDir).orderBy("a", "rank")
 
+  /** Serving memo for the IVF-PQ codes index — the 4×-smaller residency
+    * the compose exists for (same lifecycle as the float memos). */
+  private val pqMemo = new ServingMemo(MemoCap)
+
+  /** Every vector with its rank-1 cell, its centroid, and the RESIDUAL
+    * (embedding − centroid, in double) — the quantity IVF-PQ quantizes:
+    * residuals concentrate near 0 within a cell, so a fixed bit budget
+    * spends its precision where the data is. */
+  private def pqResiduals(spark: SparkSession, sfDir: String): DataFrame = {
+    val own = cellScored(spark, sfDir).filter(col("cell_rank") === 1)
+      .select("vec_id", "cell")
+    emb(spark, sfDir).select("vec_id", "embedding")
+      .join(own, "vec_id")
+      .join(broadcast(centroidRelation(spark, sfDir).select("cell", "centroid")), "cell")
+      .withColumn("resid", expr(
+        s"""transform(sequence(0, ${Dim - 1}), i ->
+           |  CAST(element_at(embedding, i+1) AS DOUBLE)
+           |  - CAST(element_at(centroid, i+1) AS DOUBLE))""".stripMargin))
+  }
+
+  /** The per-cell coder dimension table (≤2560 rows): exact per-dimension
+    * residual bounds plus the decode affine — base = centroid + lo and
+    * scale = (hi − lo)/255, so decode is b̂ᵢ = baseᵢ + (codeᵢ+128)·scaleᵢ.
+    * Bounds are min/max selections (no float-sum drift), deterministic. */
+  private def pqCellDim(spark: SparkSession, sfDir: String): DataFrame = {
+    val stats = pqResiduals(spark, sfDir)
+      .select(col("cell"), posexplode(col("resid")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos").agg(min("v").as("lo"), max("v").as("hi"))
+    stats.groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("lo"), col("hi")))).as("plh"))
+      .select(col("cell"),
+        transform(col("plh"), p => p.getField("lo")).as("lows"),
+        transform(col("plh"), p => p.getField("hi")).as("highs"))
+      .join(broadcast(centroidRelation(spark, sfDir).select("cell", "centroid")), "cell")
+      .select(col("cell"), col("lows"),
+        expr(s"""transform(sequence(0, ${Dim - 1}), i ->
+           |  CAST(element_at(centroid, i+1) AS DOUBLE) + element_at(lows, i+1))""".stripMargin)
+          .as("base"),
+        expr(s"""transform(sequence(0, ${Dim - 1}), i ->
+           |  (element_at(highs, i+1) - element_at(lows, i+1)) / 255.0D)""".stripMargin)
+          .as("scale"))
+  }
+
+  private def pqIndex(spark: SparkSession, sfDir: String): DataFrame =
+    pqMemo.get(spark, sfDir)(buildPqIndex(spark, sfDir).cache())
+
+  /** The IVF-PQ serving index: one row per vector holding ONLY its cell,
+    * the uint8 residual codes (stored −128-shifted as array<tinyint> —
+    * one byte per dimension, 4× smaller than the float vector), and the
+    * reconstructed norm. This is the billion-vector memory layout:
+    * together with the ≤2560-row coder table it is the ENTIRE serving
+    * state — the float embeddings are only touched again to refine a
+    * 20-candidate shortlist per query. Codes are exact-deterministic
+    * (integer rounding on exact min/max bounds; the fp-safety clamp can
+    * only fire on the boundary value itself). */
+  private def buildPqIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val codeExpr = expr(
+      s"""transform(sequence(0, ${Dim - 1}), i ->
+         |  CAST(CASE WHEN element_at(scale, i+1) = 0.0D THEN -128
+         |    ELSE least(127, greatest(-128,
+         |      CAST(floor((element_at(resid, i+1) - element_at(lows, i+1))
+         |        / element_at(scale, i+1) + 0.5D) AS INT) - 128))
+         |  END AS TINYINT))""".stripMargin)
+    pqResiduals(spark, sfDir)
+      .join(broadcast(pqCellDim(spark, sfDir)), "cell")
+      .withColumn("codes", codeExpr)
+      .withColumn("rnorm", expr(
+        s"""sqrt(aggregate(sequence(0, ${Dim - 1}), 0.0D, (acc, i) ->
+           |  acc + pow(element_at(base, i+1)
+           |    + (CAST(element_at(codes, i+1) AS DOUBLE) + 128.0D)
+           |      * element_at(scale, i+1), 2.0D)))""".stripMargin))
+      .select(col("vec_id").as("b"), col("cell"), col("codes"), col("rnorm"))
+  }
+
+  /** IVF-PQ ANN — `llm_ann_ivf`'s cell probing composed with
+    * `llm_embed_quantize`'s uint8 machinery applied to RESIDUALS inside
+    * each cell: candidates are scored from the codes index alone
+    * (decode-on-the-fly affine inside the aggregate fold — the serving
+    * state never holds floats), the top-20 shortlist per query is then
+    * refined with exact dot products, and the final top-5 is emitted by
+    * exact score. Work per query is the same nprobe·cell-size candidate
+    * set as plain IVF; memory per served vector drops 4× (64 code bytes
+    * vs 256 float bytes), which is what decides how many vectors fit a
+    * serving tier at 10⁹ scale. LlmSpec pins recall@5 ≥ the plain-IVF
+    * floor on the real sf0.1 embeddings and measures the cached codes
+    * index ≥3.5× smaller than the float equivalent; no oracle (the
+    * shortlist refinement's tie behavior is engine-internal — the exact
+    * path `llm_ann_ivf` is the oracle-checked row). */
+  private def buildAnnPqTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val ranked = cellScored(spark, sfDir)
+    val codes = pqIndex(spark, sfDir)
+    val nRow = Tables.embeddings(spark, sfDir).agg(count(lit(1)).as("n_total"))
+    val probes = Fanout.broadcastAll(ranked, nRow, col("vec_id"), col("n_total"))
+      .filter(col("cell_rank") <= lit(3) + lit(2) * bucketBits(col("n_total")))
+      .join(emb(spark, sfDir).select("vec_id", "embedding", "nrm"), "vec_id")
+      .select(col("vec_id").as("a"), col("cell"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+    val approx = probes.join(codes, Seq("cell")).filter(col("a") =!= col("b"))
+      .join(broadcast(pqCellDim(spark, sfDir).select("cell", "base", "scale")), "cell")
+      .withColumn("acos", expr(
+        s"""aggregate(sequence(0, ${Dim - 1}), 0.0D, (acc, i) ->
+           |  acc + CAST(element_at(ea, i+1) AS DOUBLE)
+           |    * (element_at(base, i+1)
+           |       + (CAST(element_at(codes, i+1) AS DOUBLE) + 128.0D)
+           |         * element_at(scale, i+1)))""".stripMargin)
+        / (col("na") * col("rnorm")))
+    // narrow shortlist BEFORE the window (topkWithin's wide-row lesson),
+    // then re-attach floats for the exact refinement of 20 rows/query
+    val w = Window.partitionBy("a").orderBy(desc("acos"), asc("b"))
+    val shortlist = approx.select("a", "b", "acos")
+      .withColumn("r", row_number().over(w)).filter(col("r") <= 20)
+      .select("a", "b")
+    val va = emb(spark, sfDir)
+      .select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val vb = emb(spark, sfDir)
+      .select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    topkWithin(shortlist.join(va, "a").join(vb, "b")
+      .withColumn("cos", dot("ea", "eb") / (col("na") * col("nb")))
+      .select("a", "b", "cos"))
+  }
+
+  def llmAnnIvfPq(spark: SparkSession, sfDir: String): DataFrame =
+    buildAnnPqTopk(spark, sfDir).orderBy("a", "rank")
+
+  /** Spec hooks: the serving index and its float-resident counterpart,
+    * for the memory A/B (cache both, compare measured storage bytes). */
+  private[graft] def pqIndexForSpec(spark: SparkSession, sfDir: String): DataFrame =
+    buildPqIndex(spark, sfDir)
+  private[graft] def floatIndexForSpec(spark: SparkSession, sfDir: String): DataFrame = {
+    val own = cellScored(spark, sfDir).filter(col("cell_rank") === 1)
+      .select("vec_id", "cell")
+    emb(spark, sfDir).select(col("vec_id").as("b"), col("embedding"), col("nrm"))
+      .join(own, col("b") === col("vec_id")).select("b", "cell", "embedding", "nrm")
+  }
+
   /** Scalar (per-dimension min/max → uint8) embedding quantization — the
     * memory side of similarity search at 100 TB: 4× smaller vectors to
     * broadcast/probe, with the reconstruction error quantifying the recall
@@ -559,6 +701,7 @@ object LlmVector {
     "llm_embed_neardup" -> llmEmbedNeardup,
     "llm_semdedup" -> llmSemdedup,
     "llm_ann_ivf" -> llmAnnIvf,
+    "llm_ann_ivfpq" -> llmAnnIvfPq,
     "llm_embed_quantize" -> llmEmbedQuantize,
     "llm_multimodal_features" -> llmMultimodalFeatures,
   )

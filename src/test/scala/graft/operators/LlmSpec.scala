@@ -261,6 +261,52 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall@5 at sf0.1 was $recall — the nprobe budget regressed")
   }
 
+  test("IVF-PQ recall@5 holds the plain-IVF floor; codes index is measurably smaller") {
+    val sfBig = "/root/testdata/sf0.1"
+    // recall vs exact, same protocol as the plain-IVF gate — the refine
+    // step must recover the floor despite scoring candidates from codes
+    val brute = LlmVector.llmCosineTopk(spark, sfBig)
+      .select("a", "nn").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = LlmVector.llmAnnIvfPq(spark, sfBig)
+      .select("a", "nn").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVF-PQ recall@5 at sf0.1 was $recall — below the plain-IVF floor")
+    assert(pq.groupBy(_._1).forall(_._2.size <= 5))
+
+    // memory: the smaller serving residency is the point of the compose —
+    // cache both layouts and compare MEASURED storage bytes. Two traps:
+    // (1) the recall run above memo-cached the same codes-index plan, and
+    // CacheManager dedups by plan, so a second cache() of it would
+    // materialize nothing (delta = 0) — release the memos first; (2) both
+    // index plans read the memoized cell assignment, so WARM that memo
+    // again before measuring or the first measurement absorbs its bytes.
+    LlmVector.releaseCellCache(spark)
+    LlmVector.llmAnnIvf(spark, sfBig).count(): Unit
+    def cachedBytes(df: org.apache.spark.sql.DataFrame): Long = {
+      val before = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+      val cached = df.cache()
+      cached.count()
+      val delta = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum - before
+      cached.unpersist(blocking = true)
+      delta
+    }
+    val n = graft.Tables.embeddings(spark, sfBig).count()
+    val codeBytes = cachedBytes(LlmVector.pqIndexForSpec(spark, sfBig))
+    val floatBytes = cachedBytes(LlmVector.floatIndexForSpec(spark, sfBig))
+    assert(codeBytes > 0 && floatBytes > 0)
+    // per-row accounting at Dim=64: the PAYLOAD shrinks exactly 4× (256
+    // float bytes → 64 code bytes per vector) but each row also carries
+    // ~40 fixed bytes (vec id, cell, norm, array header) on BOTH sides, so
+    // the whole-row ratio at this dimension is ~(296/104) ≈ 2.8 — floor
+    // 2.5 measured; at production Dim (512+) the fixed part vanishes and
+    // the ratio approaches 4. Pin both sides' absolute per-row footprint
+    // so a payload regression (e.g. codes silently widening to int) fails.
+    val ratio = floatBytes.toDouble / codeBytes
+    assert(ratio >= 2.5, f"codes index only $ratio%.2fx smaller ($codeBytes vs $floatBytes bytes)")
+    assert(codeBytes / n <= 160, s"codes index ${codeBytes / n} B/row — expected ~104 (1 B/dim + fixed)")
+    assert(floatBytes / n >= 280, s"float index ${floatBytes / n} B/row — expected ~296 (4 B/dim + fixed)")
+  }
+
   test("GRFT container pack/decode round-trips per-payload features") {
     val feats = MultimodalOps.decode(MultimodalOps.pack(MultimodalOps.fromDocuments(spark, sf001)))
       .collect().map(f => f.doc_id -> f).toMap
