@@ -109,6 +109,95 @@ object StreamOps {
       .transformWithState(new TopKProcessor(k), TimeMode.None(), OutputMode.Update())
   }
 
+  /** One fanned-out activity hit: an event on day `wday - off` seen from
+    * the trailing-window-end day `wday` (epoch days). `own` marks the
+    * off=0 copy, which is the only one contributing to DAU. */
+  case class DayHit(wday: Long, own: Boolean, user: Long)
+
+  /** ValueState payload for the exact rolling-actives processor (product
+    * encoder; sorted for determinism of the stored bytes). */
+  case class ActiveSets(dau: Seq[Long], wau: Seq[Long])
+
+  /** Fan each (epochDay, user) activity to the 7 trailing window-end days
+    * it supports — the SAME ×7 explode-fanout the batch
+    * `evt_rolling_actives` runs, applied at ingest so the keyed state
+    * below is per window-end day. Feed this DEDUPED (day, user) pairs
+    * (dropDuplicates upstream, or dedupWithinWatermark on a live stream);
+    * the processors re-dedup in state either way. */
+  def toDayHits(ev: Dataset[(Long, Long)]): Dataset[DayHit] = {
+    import ev.sparkSession.implicits._
+    ev.flatMap { case (d, u) => (0L to 6L).map(i => DayHit(d + i, i == 0L, u)) }
+  }
+
+  /** Streaming rolling actives (DAU / WAU), EXACT form: keyed by
+    * window-end day, state = the day's distinct users and the trailing
+    * week's distinct users, emitting (day, dau, wau) after every batch
+    * that touches the day. Per-key state is O(active users in the
+    * window) — the same grain the batch operator shuffles — fine at spec
+    * scale; the 100-TB form is `rollingActivesHll` below, which swaps
+    * each set for the few-KB mergeable sketch `agg_hll_merge` is built
+    * on. StreamingSpec asserts this form's final emissions EQUAL the
+    * batch `evt_rolling_actives` rows on the real sf0.001 events. */
+  class RollingActivesProcessor extends StatefulProcessor[Long, DayHit, (Long, Long, Long)] {
+    @transient private var sets: ValueState[ActiveSets] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sets = getHandle.getValueState[ActiveSets]("sets", Encoders.product[ActiveSets], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[DayHit],
+        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      val cur = if (sets.exists()) sets.get() else ActiveSets(Nil, Nil)
+      var dau = cur.dau.toSet
+      var wau = cur.wau.toSet
+      rows.foreach { h => wau += h.user; if (h.own) dau += h.user }
+      sets.update(ActiveSets(dau.toSeq.sorted, wau.toSeq.sorted))
+      Iterator.single((key, dau.size.toLong, wau.size.toLong))
+    }
+  }
+
+  def rollingActives(hits: Dataset[DayHit]): Dataset[(Long, Long, Long)] = {
+    import hits.sparkSession.implicits._
+    hits.groupByKey(_.wday)
+      .transformWithState(new RollingActivesProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Streaming rolling actives, SKETCHED form — the state layout a
+    * 100-TB/day stream actually runs: per window-end day the state is two
+    * Datasketches HLL sketches (DAU / WAU), a few KB each REGARDLESS of
+    * user cardinality, so total state is bounded by
+    * days-in-horizon × sketch-size, never by users. This is
+    * `agg_hll_merge`'s mergeable-sketch primitive connected to
+    * `evt_rolling_actives`' fanout at stream time: each micro-batch
+    * updates the day's sketches in place (HLL update is the streaming
+    * union), and the emitted counts are the sketch estimates.
+    * StreamingSpec bounds the final estimates within 5% of the batch
+    * operator's exact rows (the agg_hll_merge tolerance). In production
+    * a TTL evicts days older than the reporting horizon; the spec uses
+    * TTLConfig.NONE to keep every day observable. */
+  class RollingActivesHllProcessor(lgK: Int) extends StatefulProcessor[Long, DayHit, (Long, Long, Long)] {
+    @transient private var dauSk: ValueState[Array[Byte]] = _
+    @transient private var wauSk: ValueState[Array[Byte]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      dauSk = getHandle.getValueState[Array[Byte]]("dauSk", Encoders.BINARY, TTLConfig.NONE)
+      wauSk = getHandle.getValueState[Array[Byte]]("wauSk", Encoders.BINARY, TTLConfig.NONE)
+    }
+    private def load(s: ValueState[Array[Byte]]): org.apache.datasketches.hll.HllSketch =
+      if (s.exists()) org.apache.datasketches.hll.HllSketch.heapify(s.get())
+      else new org.apache.datasketches.hll.HllSketch(lgK)
+    override def handleInputRows(key: Long, rows: Iterator[DayHit],
+        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      val (dau, wau) = (load(dauSk), load(wauSk))
+      rows.foreach { h => wau.update(h.user); if (h.own) dau.update(h.user) }
+      dauSk.update(dau.toUpdatableByteArray)
+      wauSk.update(wau.toUpdatableByteArray)
+      Iterator.single((key, math.round(dau.getEstimate), math.round(wau.getEstimate)))
+    }
+  }
+
+  def rollingActivesHll(hits: Dataset[DayHit], lgK: Int = 12): Dataset[(Long, Long, Long)] = {
+    import hits.sparkSession.implicits._
+    hits.groupByKey(_.wday)
+      .transformWithState(new RollingActivesHllProcessor(lgK), TimeMode.None(), OutputMode.Update())
+  }
+
   /** Arbitrary stateful processing: running per-user event count
     * (mapGroupsWithState; update output mode). */
   def runningUserCounts(events: Dataset[Evt]): Dataset[(Long, Long)] = {

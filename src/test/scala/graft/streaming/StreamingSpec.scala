@@ -304,6 +304,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rolling actives reproduce the batch DAU/WAU exactly; HLL form within 5%") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the real events table as DEDUPED (epochDay, user) pairs — the same
+    // grain the batch operator dedups to before its fanout
+    val pairs = graft.Tables.events(spark, sf001)
+      .select(org.apache.spark.sql.functions.to_date(col("ts_ntz")).as("day"), col("user_id"))
+      .distinct().collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+      .sortBy(identity)
+    // batch truth: day -> (dau, wau)
+    val batch = graft.operators.EventTime.evtRollingActives(spark, sf001).collect()
+      .map(r => r.getDate(0).toLocalDate.toEpochDay -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(batch.nonEmpty)
+
+    def runStream(name: String, f: org.apache.spark.sql.Dataset[StreamOps.DayHit] =>
+        org.apache.spark.sql.Dataset[(Long, Long, Long)]): Map[Long, (Long, Long)] = {
+      val in = MemoryStream[(Long, Long)]
+      val q = f(StreamOps.toDayHits(in.toDS))
+        .toDF("day", "dau", "wau")
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      try {
+        // three micro-batches: a day's state must merge users across them
+        pairs.grouped(math.max(pairs.length / 3, 1)).foreach { chunk =>
+          in.addData(chunk.toIndexedSeq); q.processAllAvailable()
+        }
+        // per-key counts are nondecreasing across batches (sets/sketches
+        // only grow), so max == the final emission for each day
+        spark.sql(s"SELECT day, max(dau), max(wau) FROM $name GROUP BY day").collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      } finally q.stop()
+    }
+
+    try {
+      // exact-set form: final emissions EQUAL the batch rows
+      val exact = runStream("t_ract", StreamOps.rollingActives)
+      assert(exact === batch, "exact streaming rolling actives must equal the batch rows")
+      // HLL form: the bounded-state layout — estimates within the
+      // agg_hll_merge tolerance of the batch exact counts, same day set
+      val hll = runStream("t_ract_hll", d => StreamOps.rollingActivesHll(d))
+      assert(hll.keySet === batch.keySet)
+      hll.foreach { case (day, (dau, wau)) =>
+        val (ed, ew) = batch(day)
+        assert(math.abs(dau - ed) <= math.max(1L, math.ceil(0.05 * ed).toLong),
+          s"day $day: HLL dau $dau vs exact $ed")
+        assert(math.abs(wau - ew) <= math.max(1L, math.ceil(0.05 * ew).toLong),
+          s"day $day: HLL wau $wau vs exact $ew")
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("mapGroupsWithState keeps a running per-user count across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
