@@ -186,9 +186,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("no declared query plans an accidental cross product") {
-    // Intentional pairwise/cross plan: only the bounded 25×5 cross-join grid.
+    // Intentional pairwise/cross plans: the bounded 25×5 cross-join grid,
+    // and agg_theta_intersect's pairwise sketch comparison — a theta
+    // (type_a < type_b) self-join over the ≤|event_type| MERGED sketch
+    // rows (5 here), deliberately planned as a broadcast nested loop on a
+    // planning-sized relation so the whole query stays one lazy plan.
     // The similarity-search queries are covered (un-whitelisted) above.
-    val whitelist = Set("join_cross")
+    val whitelist = Set("join_cross", "agg_theta_intersect")
     val offenders = graft.SparkEntry.queries.toSeq
       .filterNot { case (name, _) => whitelist(name) }
       .flatMap { case (name, fn) =>

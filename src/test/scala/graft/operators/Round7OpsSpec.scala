@@ -76,9 +76,22 @@ class Round7OpsSpec extends SparkSpec {
       MergeSink.mergeBatch(root, "k")(Seq((10L + b, s"n$b")).toDF("k", "v"), b)
     }
     assert(MergeSink.versionCount(root) === 4)
+    // snapshot the kept versions' physical files (path, length, mtime,
+    // first bytes) — vacuum must not rewrite what it retains
+    def fileSigs(vs: Seq[Int]): Map[String, (Long, Long, Seq[Byte])] =
+      vs.flatMap { v =>
+        new java.io.File(s"$root/v$v").listFiles().filter(_.isFile).map { f =>
+          val in = new java.io.FileInputStream(f)
+          val head = try { val b = new Array[Byte](64); val n = in.read(b); b.take(math.max(n, 0)).toSeq }
+          finally in.close()
+          f.getPath -> ((f.length(), f.lastModified(), head))
+        }
+      }.toMap
+    val keptBefore = fileSigs(Seq(2, 3))
     val removed = MergeSink.vacuum(root, keepLast = 2)
     assert(removed === Seq(0, 1), s"retention of 2 over v0..v3 removes v0,v1: $removed")
-    // kept versions unaffected
+    // kept versions byte-identical (same files, lengths, mtimes, leading bytes)
+    assert(fileSigs(Seq(2, 3)) === keptBefore, "vacuum must not touch retained versions")
     assert(MergeSink.current(spark, root).count() === 2 + 3)
     assert(MergeSink.asOf(spark, root, 2).count() === 2 + 2)
     // vacuumed version fails with the retention message, not a path error
