@@ -128,7 +128,12 @@ object ScaleStress {
     "join_asof_nearest",
     // rolling actives: fixed x7 fanout of the deduped day grain — the
     // explode-fanout rolling-distinct shape held to a ratio
-    "evt_rolling_actives")
+    "evt_rolling_actives",
+    // round 12: the exact-decimal flagship twin (same partial-agg shape,
+    // decimal arithmetic instead of double) and the IVF-PQ compose (cell
+    // probing over the 4x-smaller codes index + shortlist refine — the
+    // candidate-join shape must track plain IVF's)
+    "q1_decimal", "llm_ann_ivfpq")
 
   /** Per-query sweep ceilings for operators whose work is super-linear BY
     * DECLARATION, so running them at every scale proves nothing new and
