@@ -409,7 +409,7 @@ object Sinks {
   /** Step 1 — the immutable data files. Written once; the DELETE below
     * never touches them again (the spec snapshots (name, length, mtime)
     * here and re-asserts after the delete + read). */
-  private[operators] def dvWriteData(spark: SparkSession, sfDir: String): String =
+  private[graft] def dvWriteData(spark: SparkSession, sfDir: String): String =
     dvWriteDataAt(spark, sfDir, dvRoot(spark, sfDir))
 
   private def dvWriteDataAt(spark: SparkSession, sfDir: String, root: String): String = {
@@ -438,7 +438,7 @@ object Sinks {
     * rewritten — at 100 TB that is the whole point: a 0.01%-selectivity
     * GDPR delete costs O(matching rows) sidecar bytes, not a rewrite of
     * every touched multi-GB file. */
-  private[operators] def dvDelete(spark: SparkSession, root: String): Unit =
+  private[graft] def dvDelete(spark: SparkSession, root: String): Unit =
     dvWriteSidecar(spark, root, dvDeletePredicate)
 
   /** The sidecar writer shared by sink_delete_vectors and the purge
@@ -450,21 +450,31 @@ object Sinks {
       .agg(sort_array(collect_list(col("_pos"))).as("del_pos"))
       .write.mode("overwrite").parquet(s"$root/dv")
 
-  /** Step 3 — the merge-on-read scan: LEFT ANTI join of the data scan's
-    * (file, position) coordinates against the exploded deletion vectors.
-    * The DV side is O(deleted rows) — tiny next to the data — so AQE
-    * broadcasts it and the read stays a single pass over the data files;
-    * with per-file bitmap application (what table formats do inside the
-    * reader) this is the same join, pushed into the scan. */
-  private[operators] def dvRead(spark: SparkSession, root: String): DataFrame = {
-    val dv = spark.read.parquet(s"$root/dv")
-      .select(col("_f").as("_df"), explode(col("del_pos")).as("_dpos"))
-    dvScan(spark, root)
-      .join(dv, col("_f") === col("_df") && col("_pos") === col("_dpos"), "left_anti")
+  /** Apply a per-file deletion-vector sidecar to a (file, position)-keyed
+    * scan — the shared merge-on-read kernel of dvRead, the purge rewrite,
+    * and the post-purge read. The DV stays UNEXPLODED (one row per file,
+    * positions as a sorted long array), so the broadcast is O(files +
+    * 8·deleted) bytes — not the O(deleted rows)·path-string hash table the
+    * exploded anti-join builds (~100 MB at the ×100 sweep, gigabytes at a
+    * 100-TB table with 1% deletes) — and the per-row probe is one ≤772-entry
+    * file lookup plus a codegen'd O(log k) binary search: the per-file
+    * bitmap application table formats run inside their readers. Files
+    * without a DV surface a null array and keep every row (left join). */
+  private def dvApply(spark: SparkSession, scan: DataFrame, dvPath: String): DataFrame = {
+    graft.functions.SortedContainsExprs.register(spark)
+    val dv = spark.read.parquet(dvPath).select(col("_f").as("_df"), col("del_pos"))
+    scan.join(broadcast(dv), col("_f") === col("_df"), "left")
+      .filter(col("del_pos").isNull || !expr("graft_sorted_contains(del_pos, _pos)"))
+      .drop("_df", "del_pos")
+  }
+
+  /** Step 3 — the merge-on-read scan: one pass over the data files with
+    * the per-file deletion vectors applied in-row (`dvApply`). */
+  private[graft] def dvRead(spark: SparkSession, root: String): DataFrame =
+    dvApply(spark, dvScan(spark, root), s"$root/dv")
       .select(col("l_orderkey"), col("l_linenumber"),
         round(col("l_quantity"), 2).as("qty"),
         round(col("l_extendedprice"), 2).as("price"))
-  }
 
   /** Row-level DELETE via positional deletion vectors — the merge-on-read
     * maintenance primitive (Iceberg v2 / Delta DVs): lineitem written as
@@ -537,14 +547,13 @@ object Sinks {
       s"purge fixture must split the files: purged=${purged.size} kept=${kept.size}")
     val purgedPaths = purged.map(_._1).sorted
     val keptPaths = kept.map(_._1).sorted
-    val dv = spark.read.parquet(s"$root/dv")
-      .select(col("_f").as("_df"), explode(col("del_pos")).as("_dpos"))
-    spark.read.parquet(purgedPaths: _*)
-      .select(col("_metadata.file_path").as("_f"),
-        col("_metadata.row_index").as("_pos"),
-        col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity"), col("l_extendedprice"))
-      .join(dv, col("_f") === col("_df") && col("_pos") === col("_dpos"), "left_anti")
+    dvApply(spark,
+        spark.read.parquet(purgedPaths: _*)
+          .select(col("_metadata.file_path").as("_f"),
+            col("_metadata.row_index").as("_pos"),
+            col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice")),
+        s"$root/dv")
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
       .write.mode("overwrite").parquet(s"$root/data2")
     spark.read.parquet(s"$root/dv").filter(col("_f").isin(keptPaths: _*))
@@ -566,14 +575,13 @@ object Sinks {
   /** Step 4 — the post-purge read: kept originals still merge-on-read
     * against the shrunk sidecar; rewritten files read plain. */
   private[operators] def dvpRead(spark: SparkSession, root: String, keptPaths: Seq[String]): DataFrame = {
-    val dv2 = spark.read.parquet(s"$root/dv2")
-      .select(col("_f").as("_df"), explode(col("del_pos")).as("_dpos"))
-    val keptScan = spark.read.parquet(keptPaths: _*)
-      .select(col("_metadata.file_path").as("_f"),
-        col("_metadata.row_index").as("_pos"),
-        col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity"), col("l_extendedprice"))
-      .join(dv2, col("_f") === col("_df") && col("_pos") === col("_dpos"), "left_anti")
+    val keptScan = dvApply(spark,
+        spark.read.parquet(keptPaths: _*)
+          .select(col("_metadata.file_path").as("_f"),
+            col("_metadata.row_index").as("_pos"),
+            col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice")),
+        s"$root/dv2")
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     keptScan.unionByName(
         spark.read.parquet(s"$root/data2")
