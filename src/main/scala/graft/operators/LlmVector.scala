@@ -296,6 +296,7 @@ object LlmVector {
     cellMemo.release(spark)
     topkMemo.release(spark)
     pqMemo.release(spark)
+    pqTopkMemo.release(spark)
   }
 
   private def cellScored(spark: SparkSession, sfDir: String): DataFrame =
@@ -544,19 +545,26 @@ object LlmVector {
 
   /** IVF-PQ ANN — `llm_ann_ivf`'s cell probing composed with
     * `llm_embed_quantize`'s uint8 machinery applied to RESIDUALS inside
-    * each cell: candidates are scored from the codes index alone
-    * (decode-on-the-fly affine inside the aggregate fold — the serving
-    * state never holds floats), the top-20 shortlist per query is then
-    * refined with exact dot products, and the final top-5 is emitted by
-    * exact score. Work per query is the same nprobe·cell-size candidate
-    * set as plain IVF; memory per served vector drops 4× (64 code bytes
-    * vs 256 float bytes), which is what decides how many vectors fit a
-    * serving tier at 10⁹ scale. LlmSpec pins recall@5 ≥ the plain-IVF
+    * each cell: candidates are scored from the codes index alone (the
+    * codegen'd `graft_pq_dot` decode-dot — the serving state never holds
+    * floats; the same scoring as a SQL higher-order `aggregate` lambda
+    * measured ×48 at the 30× sweep, interpreted closures per element),
+    * the top-20 shortlist per query is then refined with exact dot
+    * products, and the final top-5 is emitted by exact score. Work per
+    * query is the same nprobe·cell-size candidate set as plain IVF —
+    * including its anti-coalesce sub-fragmentation (without it AQE folds
+    * the few-distinct-cell join to one partition and serializes every
+    * decode-dot into a single task); memory per served vector drops 4×
+    * in payload (64 code bytes vs 256 float bytes), which is what decides
+    * how many vectors fit a serving tier at 10⁹ scale. Like plain IVF the
+    * result memoizes (build-once/serve-cheap; ScaleStress reports the
+    * `_build` line separately). LlmSpec pins recall@5 ≥ the plain-IVF
     * floor on the real sf0.1 embeddings and measures the cached codes
-    * index ≥3.5× smaller than the float equivalent; no oracle (the
+    * index vs the float layout with per-row byte pins; no oracle (the
     * shortlist refinement's tie behavior is engine-internal — the exact
     * path `llm_ann_ivf` is the oracle-checked row). */
   private def buildAnnPqTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.PqDotExprs.register(spark)
     val ranked = cellScored(spark, sfDir)
     val codes = pqIndex(spark, sfDir)
     val nRow = Tables.embeddings(spark, sfDir).agg(count(lit(1)).as("n_total"))
@@ -565,15 +573,19 @@ object LlmVector {
       .join(emb(spark, sfDir).select("vec_id", "embedding", "nrm"), "vec_id")
       .select(col("vec_id").as("a"), col("cell"),
         col("embedding").as("ea"), col("nrm").as("na"))
-    val approx = probes.join(codes, Seq("cell")).filter(col("a") =!= col("b"))
+    // sub-fragment the probe⋈codes join exactly like buildAnnTopk: the
+    // cell key alone has few distinct values and AQE would coalesce the
+    // decode-dot stage to one task
+    val nFrag = 8
+    val codesF = codes.withColumn("frag", explode(sequence(lit(0), lit(nFrag - 1))))
+    val probesF = probes.withColumn("frag", pmod(hash(col("a")), lit(nFrag)))
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val approx = probesF.repartition(parts, col("cell"), col("frag"))
+      .join(codesF.hint("shuffle_hash"), Seq("cell", "frag"))
+      .filter(col("a") =!= col("b"))
       .join(broadcast(pqCellDim(spark, sfDir).select("cell", "base", "scale")), "cell")
-      .withColumn("acos", expr(
-        s"""aggregate(sequence(0, ${Dim - 1}), 0.0D, (acc, i) ->
-           |  acc + CAST(element_at(ea, i+1) AS DOUBLE)
-           |    * (element_at(base, i+1)
-           |       + (CAST(element_at(codes, i+1) AS DOUBLE) + 128.0D)
-           |         * element_at(scale, i+1)))""".stripMargin)
-        / (col("na") * col("rnorm")))
+      .withColumn("acos",
+        expr("graft_pq_dot(ea, codes, base, scale)") / (col("na") * col("rnorm")))
     // narrow shortlist BEFORE the window (topkWithin's wide-row lesson),
     // then re-attach floats for the exact refinement of 20 rows/query
     val w = Window.partitionBy("a").orderBy(desc("acos"), asc("b"))
@@ -589,8 +601,13 @@ object LlmVector {
       .select("a", "b", "cos"))
   }
 
+  /** Memoized PQ top-k (the annTopkCore pattern): repeat serves read the
+    * cached result; the first call per (session, sfDir) pays the build. */
+  private val pqTopkMemo = new ServingMemo(MemoCap)
+
   def llmAnnIvfPq(spark: SparkSession, sfDir: String): DataFrame =
-    buildAnnPqTopk(spark, sfDir).orderBy("a", "rank")
+    pqTopkMemo.get(spark, sfDir)(buildAnnPqTopk(spark, sfDir).cache())
+      .orderBy("a", "rank")
 
   /** Spec hooks: the serving index and its float-resident counterpart,
     * for the memory A/B (cache both, compare measured storage bytes). */

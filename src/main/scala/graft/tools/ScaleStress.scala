@@ -133,7 +133,12 @@ object ScaleStress {
     // decimal arithmetic instead of double) and the IVF-PQ compose (cell
     // probing over the 4x-smaller codes index + shortlist refine — the
     // candidate-join shape must track plain IVF's)
-    "q1_decimal", "llm_ann_ivfpq")
+    "q1_decimal", "llm_ann_ivfpq",
+    // round 12 additions: equi-width histogram (bounds broadcast + one
+    // small shuffle), tolerance as-of (the bounded-candidate join), column
+    // profiling (one-scan multi-distinct Expand), and the CDC diff (one
+    // full-outer shuffle, O(changed rows) feed)
+    "agg_histogram", "join_asof_tolerance", "dq_profile", "sink_change_feed")
 
   /** Per-query sweep ceilings for operators whose work is super-linear BY
     * DECLARATION, so running them at every scale proves nothing new and
@@ -226,11 +231,13 @@ object ScaleStress {
         // only the serve path (the round-9 verdict's stale-rows finding).
         // llm_knn_label then rides the already-built memo, so its min-of-2 is
         // the serve-path labeler by construction (noted in SCALE.md).
-        if (name == "llm_ann_ivf") {
+        // llm_ann_ivfpq memoizes its top-k the same way (round 12), so it
+        // gets the same build/serve split.
+        if (name == "llm_ann_ivf" || name == "llm_ann_ivfpq") {
           try {
             val tBuild = once()
             val tServe = math.min(once(), once())
-            Seq("llm_ann_ivf_build" -> tBuild, "llm_ann_ivf" -> tServe)
+            Seq(s"${name}_build" -> tBuild, name -> tServe)
           } catch {
             case e: Throwable =>
               System.err.println(s"[scale] $name @ $tag FAILED: ${e.getMessage}")
@@ -251,11 +258,11 @@ object ScaleStress {
       // total_sec compares ONE fixed query set across every scale: capped
       // queries are excluded even at scales where they DID run (their x1/x10
       // timings stay in "queries" for ratio work), and the auxiliary
-      // llm_ann_ivf_build line is excluded too (the serve-path llm_ann_ivf
-      // entry is the one in the comparable set). Raw-log totals are now
+      // *_build lines are excluded too (the serve-path entries are the ones
+      // in the comparable set). Raw-log totals are now
       // set-comparable without tools/scale_table.py's correction.
       val total = times.collect {
-        case (k, v) if v >= 0 && !maxMult.contains(k) && k != "llm_ann_ivf_build" => v
+        case (k, v) if v >= 0 && !maxMult.contains(k) && !k.endsWith("_build") => v
       }.sum
       val skipped = capped.map("\"" + _ + "\"").mkString("[", ",", "]")
       val subsetField = if (only.isDefined) ""","subset":true""" else ""
