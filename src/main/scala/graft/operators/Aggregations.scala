@@ -75,6 +75,33 @@ object Aggregations {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** Histogram bucket count — 10 keeps every bucket populated at sf0.001
+    * while still exercising the least() edge-cap on the max value. */
+  private val HistBuckets = 10
+
+  /** Equi-width histogram of order totals — the optimizer-statistics /
+    * distribution-monitoring primitive: global [min, max] split into
+    * `HistBuckets` fixed-width buckets, each reporting count + observed
+    * min/max. The bounds row broadcasts via Fanout (one 1-row aggregate,
+    * never a driver collect), bucketing is pure row-local arithmetic, and
+    * the groupBy partial-aggregates — one scan + one ≤`HistBuckets`-row
+    * shuffle at any corpus size. This is the scale-safe histogram shape:
+    * an equi-DEPTH histogram needs a global sort or exact percentiles
+    * (`agg_percentile_exact` is that row); monitoring pipelines run
+    * equi-width precisely because it stays one pass. Bucket arithmetic is
+    * IEEE-identical on both engines (same subtract/divide/floor on the
+    * same doubles); the max value caps into the last bucket. */
+  def aggHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir).select(col("o_totalprice").as("v"), col("o_orderkey"))
+    val bounds = o.agg(min("v").as("lo"), max("v").as("hi"))
+    Fanout.broadcastAll(o, bounds, col("o_orderkey"), col("lo"))
+      .withColumn("bucket", least(lit(HistBuckets - 1L),
+        floor((col("v") - col("lo")) / ((col("hi") - col("lo")) / lit(HistBuckets.toDouble)))))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("v").as("lo_v"), max("v").as("hi_v"))
+      .orderBy("bucket")
+  }
+
   /** Distribution stats per event_type (min/max are selections — exact;
     * moments rounded). */
   def aggMultiStats(spark: SparkSession, sfDir: String): DataFrame =
@@ -500,6 +527,7 @@ object Aggregations {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_pricing_summary" -> aggPricingSummary,
     "q1_decimal" -> aggPricingDecimal,
+    "agg_histogram" -> aggHistogram,
     "agg_incremental" -> aggIncremental,
     "agg_freq_items" -> aggFreqItems,
     "agg_mode" -> aggMode,
@@ -557,6 +585,15 @@ object Aggregations {
         |      ORDER BY count(*) DESC, l_quantity ASC) AS rn
         |  FROM lineitem GROUP BY l_returnflag, l_quantity) WHERE rn = 1
         |ORDER BY l_returnflag""".stripMargin,
+    // agg_histogram: bucket arithmetic is the same IEEE subtract/divide/
+    // floor on the same doubles on both engines — exact, no rounding;
+    // least() wants matching types, so the 9 is BIGINT-cast.
+    "agg_histogram" ->
+      """WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+        |SELECT least(CAST(9 AS BIGINT),
+        |    CAST(floor((o_totalprice - lo) / ((hi - lo) / 10.0)) AS BIGINT)) AS bucket,
+        |  count(*) AS n, min(o_totalprice) AS lo_v, max(o_totalprice) AS hi_v
+        |FROM orders, b GROUP BY 1 ORDER BY bucket""".stripMargin,
     // q1_decimal: NO round() anywhere — exact decimal arithmetic must
     // hash-match bit-for-bit; only the final output dtypes are pinned.
     "q1_decimal" ->

@@ -135,6 +135,42 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Tolerance window for the bounded as-of join: 72 hours in micros —
+    * wide enough that every SF matches a substantial subset of purchases,
+    * narrow enough that some purchases genuinely drop (142/1388/14183
+    * matched at sf0.001/0.01/0.1 — non-vacuous both ways). */
+  private val AsofTolUs = 72L * 3600L * 1000000L
+
+  /** TOLERANCE-bounded as-of join — pandas merge_asof(tolerance=...):
+    * per purchase event, the same user's LATEST view event at most 72 h
+    * earlier (view-to-purchase attribution); staler views are no match at
+    * all and the purchase drops out (matched-only semantics, a
+    * deterministic row set). At scale the tolerance is not just
+    * semantics — it is THE pruning lever: the bound rides inside the
+    * join condition, so candidate (purchase, view) pairs outside the
+    * window never reach the aggregate, where the unbounded backward join
+    * (`join_asof`) must carry every user's full history per event. Same
+    * partial-agg shape as join_asof: equi-join on the user + `max_by`,
+    * no window re-sort; the gap is exact integer micros. */
+  def joinAsofTolerance(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("epoch_us"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_event_id"),
+        col("epoch_us").as("v_us"))
+    p.join(v, p("user_id") === col("v_user")
+        && col("v_us") <= p("epoch_us")
+        && p("epoch_us") - col("v_us") <= AsofTolUs)
+      .groupBy("event_id", "epoch_us")
+      .agg(max_by(struct(col("v_event_id"), col("v_us")),
+        struct(col("v_us"), col("v_event_id"))).as("w"))
+      .select(col("event_id"), col("epoch_us"),
+        col("w.v_event_id").as("v_event_id"),
+        (col("epoch_us") - col("w.v_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
   /** NEAREST as-of join — pandas merge_asof(direction='nearest'), the
     * directional complement of `join_asof`'s backward lookup: per purchase
     * event, the same user's order whose date is CLOSEST to the event in
@@ -448,6 +484,7 @@ object Joins {
     "join_cross" -> joinCross,
     "join_theta_range" -> joinThetaRange,
     "join_asof" -> joinAsof,
+    "join_asof_tolerance" -> joinAsofTolerance,
     "join_asof_nearest" -> joinAsofNearest,
     "join_interval" -> joinInterval,
   )
@@ -532,6 +569,18 @@ object Joins {
         |  FROM events e JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
         |  WHERE e.event_type = 'purchase'
+        |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "join_asof_tolerance" ->
+      """SELECT event_id, epoch_us, v_event_id, gap_us FROM (
+        |  SELECT p.event_id, epoch_us(p.ts) AS epoch_us, v.event_id AS v_event_id,
+        |    epoch_us(p.ts) - epoch_us(v.ts) AS gap_us,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY epoch_us(v.ts) DESC, v.event_id DESC) AS rn
+        |  FROM events p JOIN events v
+        |    ON p.user_id = v.user_id
+        |   AND epoch_us(v.ts) <= epoch_us(p.ts)
+        |   AND epoch_us(p.ts) - epoch_us(v.ts) <= 259200000000
+        |  WHERE p.event_type = 'purchase' AND v.event_type = 'view'
         |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "join_asof_nearest" ->
       """SELECT event_id, epoch_us, o_orderkey, o_orderdate, dist AS dist_days

@@ -155,10 +155,45 @@ object Quality {
       .toDF("n_rows", "n_null_qty", "revenue", "min_qty", "max_qty", "n_disc_violation")
   }
 
+  /** The measure columns ANALYZE-style profiling sweeps (all exact
+    * 2-decimal doubles on disk — min/max are selections, no float-sum
+    * drift). One entry per profiled column keeps the Spark aggregate and
+    * the generated oracle branches in lockstep (the dqRules discipline). */
+  private val ProfileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** ANALYZE TABLE-style column profiling — the statistics pass every
+    * optimizer and data-quality monitor runs before anything else: per
+    * column, row count, null count, EXACT distinct count, min and max.
+    * ONE aggregate over one scan computes every column's stats (the
+    * multi-distinct plan is a single Expand(×|cols|) + one shuffle —
+    * linear in rows, never one scan per column), then the 1-row wide
+    * result melts to a row per column via `stack` (a local Expand over
+    * one row). At 100 TB the exact NDV is the expensive honest choice —
+    * `agg_approx_distinct` is this repo's HLL row for when ±2% is
+    * acceptable; everything else here is a partial-aggregable
+    * count/min/max. */
+  def dqProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val aggs = ProfileCols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+      countDistinct(col(c)).as(s"${c}_ndv"),
+      min(col(c)).as(s"${c}_min"),
+      max(col(c)).as(s"${c}_max")))
+    val melt = ProfileCols
+      .map(c => s"'$c', ${c}_nulls, ${c}_ndv, ${c}_min, ${c}_max")
+      .mkString(", ")
+    li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(col("n_rows"), expr(
+        s"stack(${ProfileCols.size}, $melt) AS (col_name, n_nulls, n_distinct, min_val, max_val)"))
+      .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+      .orderBy("col_name")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_constraints" -> dqConstraints,
     "scd2_history" -> scd2History,
     "dq_observe" -> dqObserve,
+    "dq_profile" -> dqProfile,
   )
 
   val oracles: Map[String, String] = Map(
@@ -166,6 +201,15 @@ object Quality {
     // cannot drift from the Spark side when a rule is added or edited
     "dq_constraints" -> dqRules.map(_.oracleSelect)
       .mkString("SELECT rule, n_violations FROM (\n", "\n  UNION ALL\n", "\n) ORDER BY rule"),
+    // generated from the SAME ProfileCols list as the operator (the
+    // dq_constraints discipline); DuckDB sums are HUGEINT -> BIGINT-cast
+    "dq_profile" -> ProfileCols
+      .map(c =>
+        s"""  SELECT '$c' AS col_name, count(*) AS n_rows,
+           |    CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |    count(DISTINCT $c) AS n_distinct,
+           |    min($c) AS min_val, max($c) AS max_val FROM lineitem""".stripMargin)
+      .mkString("SELECT * FROM (\n", "\n  UNION ALL\n", "\n) ORDER BY col_name"),
     // one row of corpus counters; the operator's claim is WHERE they were
     // computed (on the main pass via CollectMetrics), which the oracle
     // cannot see — it checks the values with plain aggregates

@@ -95,6 +95,43 @@ object Sinks {
           .otherwise(lit("update")).as("op"))
   }
 
+  /** Change data feed — the CDC diff every downstream incremental consumer
+    * (replication, cache invalidation, feature-store refresh) reads instead
+    * of re-scanning snapshots: given snapshot v0 (base orders) and v1 (the
+    * MERGE result with keys ≡ 9 (mod 10) additionally deleted), emit one
+    * row per CHANGED key with op ∈ {insert, update, delete} and the
+    * old/new payload columns (nulls on the absent side). The diff itself
+    * is the irreducible shape: ONE full-outer shuffle join on the key +
+    * row-local classification; unchanged keys (the overwhelming majority
+    * at 100 TB) are dropped before the feed is written, so the sink is
+    * O(changed rows). The oracle derives the expected feed DIRECTLY from
+    * the changeset rules — independently of the join — so it checks the
+    * diff reconstructs the rules, not that the same join ran twice.
+    * Changed prices are unrounded single IEEE multiplies (the
+    * sink_merge_upsert convention). */
+  def sinkChangeFeed(spark: SparkSession, sfDir: String): DataFrame = {
+    val v0 = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k0"), col("o_orderstatus").as("old_status"),
+        col("o_totalprice").as("old_price"))
+    val v1 = merged(spark, sfDir)
+      .filter(!(col("o_orderkey") >= 0 && col("o_orderkey") % 10 === 9))
+      .select(col("o_orderkey").as("k1"), col("o_orderstatus").as("new_status"),
+        col("o_totalprice").as("new_price"))
+    val feed = v0.join(v1, col("k0") === col("k1"), "full_outer")
+      .withColumn("op",
+        when(col("k0").isNull, "insert")
+          .when(col("k1").isNull, "delete")
+          .when(col("old_status") =!= col("new_status")
+            || col("old_price") =!= col("new_price"), "update")
+          .otherwise("keep"))
+      .filter(col("op") =!= "keep")
+      .select(coalesce(col("k0"), col("k1")).as("o_orderkey"), col("op"),
+        col("old_status"), col("new_status"), col("old_price"), col("new_price"))
+    val root = s"${Scans.tmpRoot(spark)}/cdf_${Scans.dirKey(sfDir)}"
+    feed.write.mode("overwrite").parquet(root)
+    spark.read.parquet(root).orderBy("o_orderkey")
+  }
+
   /** Target file count for the compacted copy — small enough that every SF
     * produces multi-megabyte files (the point of compaction), large enough
     * to exercise the range partitioner. */
@@ -726,10 +763,27 @@ object Sinks {
     "sink_dv_purge" -> sinkDvPurge,
     "sink_clustered_write" -> sinkClusteredWrite,
     "sink_partition_overwrite" -> sinkPartitionOverwrite,
+    "sink_change_feed" -> sinkChangeFeed,
   )
 
   val oracles: Map[String, String] = Map(
     // sink_compaction: file-layout observation — spec-gated, no oracle.
+    // sink_change_feed: expected rows derived DIRECTLY from the changeset
+    // rules (keys %10=3 update, %10=7 spawn negative-key inserts, %10=9
+    // deleted in v1) — independent of the operator's full-outer diff.
+    "sink_change_feed" ->
+      """SELECT o_orderkey, op, old_status, new_status, old_price, new_price FROM (
+        |  SELECT o_orderkey, 'update' AS op, o_orderstatus AS old_status,
+        |    'R' AS new_status, o_totalprice AS old_price,
+        |    o_totalprice * 1.1 AS new_price
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 'delete', o_orderstatus, NULL, o_totalprice, NULL
+        |  FROM orders WHERE o_orderkey % 10 = 9
+        |  UNION ALL
+        |  SELECT -(o_orderkey + 1), 'insert', NULL, 'N', NULL, o_totalprice * 0.5
+        |  FROM orders WHERE o_orderkey % 10 = 7
+        |) ORDER BY o_orderkey""".stripMargin,
     "sink_merge_upsert" ->
       """WITH changeset AS (
         |  SELECT o_orderkey AS c_key, o_custkey AS c_custkey, 'R' AS c_status,

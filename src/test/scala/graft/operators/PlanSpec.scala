@@ -185,6 +185,22 @@ class PlanSpec extends SparkSpec {
       "observe() metrics must ride the scan as a CollectMetrics node")
   }
 
+  test("dq_profile computes every column's stats from ONE scan") {
+    // the profile's scale claim: multi-column distinct counting is a single
+    // Expand over one pass, never a scan (or worse, a shuffle) per column
+    val plan = formatted(Quality.dqProfile(spark, sf001))
+    // count numbered detail entries — the tree section repeats each node
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(plan).size
+    assert(scans == 1, s"expected exactly 1 scan, saw $scans")
+    assert(plan.contains("Expand"), "multi-distinct should plan a single Expand")
+  }
+
+  test("agg_histogram broadcasts its 1-row bounds, never collects or re-sorts") {
+    val plan = formatted(Aggregations.aggHistogram(spark, sf001))
+    assert(plan.contains("BroadcastHashJoin"), "bounds row must broadcast (Fanout)")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("no declared query plans an accidental cross product") {
     // Intentional pairwise/cross plans: the bounded 25×5 cross-join grid,
     // and agg_theta_intersect's pairwise sketch comparison — a theta
