@@ -389,6 +389,24 @@ object Aggregations {
         round(covar_samp("value", "k"), 4).as("covar_vk"))
       .orderBy("event_type")
 
+  /** Higher central moments per return flag: population skewness
+    * (m3/m2^1.5) and population excess kurtosis (m4/m2² − 3) of the
+    * extended price — Spark's `skewness`/`kurtosis` built-ins compute
+    * exactly these via a single-pass stable central-moment update (one
+    * partial agg per partition, one shuffle of 5-double states). The
+    * oracle does NOT use DuckDB's `skewness`/`kurtosis` (those are
+    * SAMPLE-corrected — a different statistic); it recomputes the
+    * population moments from the definition in two passes, so the hash
+    * match certifies Spark's one-pass update against the textbook
+    * formula. 4-decimal margin: ratios of order-dependent double sums. */
+  def aggSkewKurt(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(skewness(col("l_extendedprice")), 4).as("skew"),
+        round(kurtosis(col("l_extendedprice")), 4).as("kurt"))
+      .orderBy("flag")
+
   /** Per nation: first 5 of the sorted list of customer account balances.
     * Emitted as a comma-joined %.2f string (not a bare array) so the driver's
     * pandas comparator can hash the column; raw arrays crash its sort. */
@@ -550,6 +568,7 @@ object Aggregations {
     "agg_pivot" -> aggPivot,
     "agg_percentile_exact" -> aggPercentileExact,
     "agg_corr_covar" -> aggCorrCovar,
+    "agg_skew_kurt" -> aggSkewKurt,
     "agg_collect_sorted" -> aggCollectSorted,
   )
 
@@ -714,6 +733,17 @@ object Aggregations {
         |  round(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS corr_vk,
         |  round(covar_samp(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS covar_vk
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_skew_kurt" ->
+      """WITH b AS (SELECT l_returnflag AS flag, l_extendedprice AS x FROM lineitem),
+        |m AS (SELECT flag, avg(x) AS mu FROM b GROUP BY flag),
+        |c AS (SELECT b.flag, count(*) AS n_rows,
+        |        avg(pow(x - mu, 2)) AS m2, avg(pow(x - mu, 3)) AS m3,
+        |        avg(pow(x - mu, 4)) AS m4
+        |      FROM b JOIN m ON b.flag = m.flag GROUP BY b.flag)
+        |SELECT flag, n_rows,
+        |  round(m3 / pow(m2, 1.5), 4) AS skew,
+        |  round(m4 / (m2 * m2) - 3, 4) AS kurt
+        |FROM c ORDER BY flag""".stripMargin,
     "agg_collect_sorted" ->
       """SELECT n_name,
         |  array_to_string(list_transform((list(c_acctbal ORDER BY c_acctbal))[:5],

@@ -227,19 +227,30 @@ object EventTime {
     * wouldn't — GraftProps pins both counts to an explicit hand-rolled
     * scan over generated sequences, and the oracle hash-gates Spark vs
     * RE2 on the real data. One shuffle on user_id; per-user strings are
-    * bounded by per-entity history (the synth invariant — entity count
-    * grows, per-entity history does not). */
+    * bounded by an ENFORCED cap (`SeqCap`): a rank filter INSIDE the
+    * aggregate admits only each user's first 32k events into the
+    * collect buffer (collect_list skips the nulls the `when` emits for
+    * later rows), identically declared in the oracle SQL — so one hot
+    * entity on a real stream degrades to a truncated match window, not
+    * an unbounded aggregation buffer. The row_number pass that ranks
+    * events shares the (user_id) shuffle with the groupBy and carries
+    * O(1) running state. `n_events` still counts the full history. */
+  private val SeqCap = 32768
+
   def evtPatternMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val wRank = Window.partitionBy("user_id").orderBy("epoch_us", "event_id")
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), col("epoch_us"), col("event_id"),
         when(col("event_type") === "view", "V")
           .when(col("event_type") === "click", "C")
           .when(col("event_type") === "purchase", "P")
           .otherwise("O").as("chr"))
+      .withColumn("rn", row_number().over(wRank))
     ev.groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
         array_join(transform(
-          array_sort(collect_list(struct(col("epoch_us"), col("event_id"), col("chr")))),
+          array_sort(collect_list(when(col("rn") <= SeqCap,
+            struct(col("epoch_us"), col("event_id"), col("chr"))))),
           x => x.getField("chr")), "").as("seq"))
       .select(col("user_id"), col("n_events"),
         regexp_count(col("seq"), lit("VC*P")).cast("long").as("n_patterns"),
@@ -306,10 +317,17 @@ object EventTime {
         |    CASE event_type WHEN 'view' THEN 'V' WHEN 'click' THEN 'C'
         |         WHEN 'purchase' THEN 'P' ELSE 'O' END AS chr
         |  FROM events),
+        |r AS (
+        |  SELECT user_id, e_us, event_id, chr,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY e_us, event_id)
+        |      AS rn
+        |  FROM e),
         |s AS (
         |  SELECT user_id, count(*) AS n_events,
-        |    string_agg(chr, '' ORDER BY e_us, event_id) AS seq
-        |  FROM e GROUP BY user_id)
+        |    array_to_string(
+        |      list(chr ORDER BY e_us, event_id) FILTER (WHERE rn <= 32768), '')
+        |      AS seq
+        |  FROM r GROUP BY user_id)
         |SELECT user_id, n_events,
         |  CAST(len(regexp_extract_all(seq, 'VC*P')) AS BIGINT) AS n_patterns,
         |  CAST(len(regexp_extract_all(seq, 'V(C|O)*P')) AS BIGINT) AS n_alt_patterns

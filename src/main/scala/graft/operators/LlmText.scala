@@ -574,7 +574,12 @@ object LlmText {
     * unigram-occurrence history counts; per-doc mean log-prob. The bigram
     * and unigram count tables are corpus-vocabulary sized and broadcast;
     * everything else is one shuffle per aggregation. */
-  def llmBigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared add-one-smoothed bigram scorer: per doc, the count of bigrams
+    * and the (4-decimal-rounded) mean log-probability under the corpus LM.
+    * One kernel object serves both `llm_bigram_lm` (the trainer view) and
+    * `llm_perplexity_filter` (the CCNet-style curation view) so the two
+    * cannot drift. */
+  private def bigramAvgLp(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = docs(spark, sfDir)
       .select(col("doc_id"), posexplode(split(col("norm"), " ")))
       .toDF("doc_id", "pos", "w")
@@ -590,7 +595,32 @@ object LlmText {
       .groupBy("doc_id")
       // 4-decimal margin: the per-doc mean folds shuffle-order-dependent sums
       .agg(count(lit(1)).as("n_bigrams"), round(avg("lp"), 4).as("avg_lp"))
-      .orderBy("doc_id")
+  }
+
+  def llmBigramLm(spark: SparkSession, sfDir: String): DataFrame =
+    bigramAvgLp(spark, sfDir).orderBy("doc_id")
+
+  /** CCNet-style perplexity curation: score every doc under the corpus
+    * bigram LM, split each language into head/middle/tail perplexity
+    * terciles, report bucket sizes and mean perplexity. The tercile order
+    * key is the ROUNDED `avg_lp` (desc — low perplexity first) with a
+    * doc_id tiebreak: ordering on the already-hash-matched rounded score
+    * keeps the ntile assignment engine-deterministic, where ordering on
+    * exp(−avg_lp) would rest on cross-engine libm ulp agreement.
+    * Scale: scoring is the shared linear bigram kernel; the ntile window
+    * partitions by lang and carries two longs of running state — the
+    * classic "rank within stratum" shuffle, never a global sort. */
+  def llmPerplexityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(desc("avg_lp"), asc("doc_id"))
+    bigramAvgLp(spark, sfDir)
+      .join(docs(spark, sfDir).select("doc_id", "lang"), "doc_id")
+      .withColumn("nt", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("nt") === 1, "head").when(col("nt") === 2, "middle").otherwise("tail"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(exp(-col("avg_lp"))), 4).as("avg_ppl"))
+      .orderBy("lang", "bucket")
   }
 
   /** Per-lang corpus profile: docs, avg chars, avg tokens, vocab size. */
@@ -1033,6 +1063,7 @@ object LlmText {
     "llm_ngram_jaccard" -> llmNgramJaccard,
     "llm_tfidf" -> llmTfidf,
     "llm_bigram_lm" -> llmBigramLm,
+    "llm_perplexity_filter" -> llmPerplexityFilter,
     "llm_ngrams" -> llmNgrams,
     "llm_ngram_novelty" -> llmNgramNovelty,
     "llm_text_stats" -> llmTextStats,
@@ -1251,6 +1282,35 @@ object LlmText {
         |         JOIN uni ON big.w = uni.w
         |         CROSS JOIN v
         |GROUP BY big.doc_id ORDER BY big.doc_id""".stripMargin,
+    "llm_perplexity_filter" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w,
+        |    generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, w, w2 FROM (
+        |    SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |    FROM tok) WHERE w2 IS NOT NULL),
+        |uni AS (SELECT w, count(*) AS c1 FROM tok GROUP BY w),
+        |bc AS (SELECT w, w2, count(*) AS c2 FROM big GROUP BY w, w2),
+        |v AS (SELECT count(DISTINCT w) AS v FROM tok),
+        |s AS (
+        |  SELECT big.doc_id,
+        |    round(avg(ln((bc.c2 + 1.0) / (uni.c1 + v.v))), 4) AS avg_lp
+        |  FROM big JOIN bc ON big.w = bc.w AND big.w2 = bc.w2
+        |           JOIN uni ON big.w = uni.w
+        |           CROSS JOIN v
+        |  GROUP BY big.doc_id),
+        |b AS (
+        |  SELECT d.lang, s.avg_lp,
+        |    ntile(3) OVER (PARTITION BY d.lang
+        |      ORDER BY s.avg_lp DESC, s.doc_id) AS nt
+        |  FROM s JOIN documents d ON s.doc_id = d.doc_id)
+        |SELECT lang,
+        |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+        |    AS bucket,
+        |  count(*) AS n_docs, round(avg(exp(-avg_lp)), 4) AS avg_ppl
+        |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
     "llm_ngram_novelty" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token,

@@ -92,6 +92,48 @@ object Scans {
     fromCsv.join(fromJson, "l_returnflag").orderBy("l_returnflag")
   }
 
+  /** PERMISSIVE corrupt-record ingestion — the malformed-JSONL path every
+    * web-scale text pipeline hits. A JSONL export of the lineitem sample is
+    * corrupted by a DATA rule (every l_orderkey divisible by 10 gets a
+    * truncated, unparseable line) — keyed on row content, not line
+    * position, because distributed writes don't order lines. The read-back
+    * uses the JSON source's PERMISSIVE mode with a `columnNameOfCorruptRecord`
+    * sidecar column: bad lines land with the raw text in `_bad` and data
+    * fields null, good lines parse normally — nothing is dropped, nothing
+    * throws. One aggregation folds both populations (corrupt rows bucket
+    * under the '__bad' flag), so the scan is read once and the plan never
+    * selects ONLY the corrupt column (Spark disallows that projection on
+    * raw JSON scans). The oracle replays the corruption rule relationally
+    * from the parquet table: counts and sums must agree per flag, and the
+    * '__bad' row's qty is NULL on both engines (sum over no values).
+    * Scale: corrupt handling is per-row in the scan — no extra pass, no
+    * driver involvement; the only shuffle is the 5-group aggregate. */
+  def sourceJsonCorrupt(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = s"${tmpRoot(spark)}/json_corrupt_${dirKey(sfDir)}"
+    val sample = Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") < 1000)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    sample
+      .select(col("l_orderkey"),
+        to_json(struct(sample.columns.toIndexedSeq.map(col): _*)).as("j"))
+      .select(when(col("l_orderkey") % 10 === 0,
+          concat(lit("{BROKEN "), substring(col("j"), 1, 20)))
+        .otherwise(col("j")).as("value"))
+      .write.mode("overwrite").text(tmp)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType), StructField("l_returnflag", StringType),
+      StructField("_bad", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_bad")
+      .json(tmp)
+      .withColumn("flag",
+        when(col("_bad").isNotNull, lit("__bad")).otherwise(col("l_returnflag")))
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n_rows"), round(sum("l_quantity"), 2).as("qty"))
+      .orderBy("flag")
+  }
+
   /** ORC sink/source roundtrip (rows-only, like the csv/json one). */
   def sourceOrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val tmp = s"${tmpRoot(spark)}/roundtrip_orc"
@@ -239,6 +281,7 @@ object Scans {
     "scan_pruned" -> scanPruned,
     "scan_events_nanos" -> scanEventsNanos,
     "source_csv_roundtrip" -> sourceCsvRoundtrip,
+    "source_json_corrupt" -> sourceJsonCorrupt,
     "source_orc_roundtrip" -> sourceOrcRoundtrip,
     "source_partitioned_prune" -> sourcePartitionedPrune,
     "source_dpp_prune" -> sourceDppPrune,
@@ -268,6 +311,18 @@ object Scans {
     "scan_events_nanos" ->
       """SELECT event_id, epoch_us(ts) AS epoch_us, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+    "source_json_corrupt" ->
+      """WITH s AS (
+        |  SELECT l_orderkey, l_quantity, l_returnflag
+        |  FROM lineitem WHERE l_orderkey < 1000),
+        |t AS (
+        |  SELECT CASE WHEN l_orderkey % 10 = 0 THEN '__bad'
+        |              ELSE l_returnflag END AS flag,
+        |    CASE WHEN l_orderkey % 10 = 0 THEN NULL
+        |         ELSE l_quantity END AS q
+        |  FROM s)
+        |SELECT flag, count(*) AS n_rows, round(sum(q), 2) AS qty
+        |FROM t GROUP BY flag ORDER BY flag""".stripMargin,
     // The roundtrip per-flag counts are deterministic — they must equal the
     // source sample's counts regardless of the sink format — so they ARE
     // oracle-checkable against lineitem directly (full row equality is

@@ -27,6 +27,44 @@ object TimeSeries {
       .orderBy("day")
   }
 
+  /** Linear-interpolation resample: the daily per-type value series gets
+    * deterministic gaps (every day-of-month divisible by 3 is dropped —
+    * a rule both engines replay, not row positions), then each gap day is
+    * rebuilt by interpolating between the bracketing known points:
+    * v = prev + (next − prev) · Δdays/span. The bracketing lookups are
+    * the two one-directional IGNORE NULLS navigation windows
+    * (`ts_forward_fill`'s `last` plus its mirror `first` over the
+    * following frame) — two pipelined window passes over the SAME
+    * partition-by-type sort, so Catalyst plans one sort per direction and
+    * O(1) running state per row. The calendar grid is generated from each
+    * type's own min/max surviving day, so edge rows are always known
+    * points and the interpolation is total. Scale: everything after the
+    * first groupBy is calendar×type-bounded, never event-grain. */
+  def tsInterpLinear(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts_ntz")).as("day"))
+      .agg(round(sum("value"), 4).as("v"))
+      .filter(dayofmonth(col("day")) % 3 =!= 0)
+    val cal = daily.groupBy("event_type").agg(min("day").as("lo"), max("day").as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+    val wPrev = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val knownDay = when(col("v").isNotNull, col("day"))
+    val pv = last(col("v"), ignoreNulls = true).over(wPrev)
+    val pd = last(knownDay, ignoreNulls = true).over(wPrev)
+    val nv = first(col("v"), ignoreNulls = true).over(wNext)
+    val nd = first(knownDay, ignoreNulls = true).over(wNext)
+    cal.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        col("v").isNull.cast("long").as("is_gap"),
+        round(coalesce(col("v"),
+          pv + (nv - pv) * datediff(col("day"), pd) / datediff(nd, pd)), 4).as("v_interp"))
+      .orderBy("event_type", "day")
+  }
+
   /** Forward-fill: per customer, carry the last non-null total price forward
     * over the order sequence (nulls injected deterministically). */
   def tsForwardFill(spark: SparkSession, sfDir: String): DataFrame = {
@@ -335,6 +373,7 @@ object TimeSeries {
     "ts_vwap" -> tsVwap,
     "ts_rolling_vol" -> tsRollingVol,
     "ts_gapfill" -> tsGapfill,
+    "ts_interp_linear" -> tsInterpLinear,
     "ts_forward_fill" -> tsForwardFill,
     "ts_ohlc" -> tsOhlc,
     "ts_drawdown" -> tsDrawdown,
@@ -342,6 +381,37 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "ts_interp_linear" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, round(sum(value), 4) AS v
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT * FROM d WHERE date_part('day', day) % 3 <> 0),
+        |cal AS (
+        |  SELECT event_type,
+        |    CAST(unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+        |      INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT event_type, min(day) AS lo, max(day) AS hi
+        |        FROM g GROUP BY event_type)),
+        |j AS (
+        |  SELECT cal.event_type, cal.day, g.v FROM cal
+        |  LEFT JOIN g ON cal.event_type = g.event_type AND cal.day = g.day),
+        |w AS (
+        |  SELECT event_type, day, v,
+        |    last_value(v IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wp AS pd,
+        |    first_value(v IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wn AS nd
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, day, CAST(v IS NULL AS BIGINT) AS is_gap,
+        |  round(coalesce(v, pv + (nv - pv) * (day - pd) / (nd - pd)), 4)
+        |    AS v_interp
+        |FROM w ORDER BY event_type, day""".stripMargin,
     "ts_concurrent_intervals" ->
       """WITH iv AS (
         |  SELECT CAST(l_shipdate AS DATE) AS s,

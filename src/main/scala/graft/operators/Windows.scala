@@ -179,7 +179,53 @@ object Windows {
       .orderBy("user_id", "event_id")
   }
 
+  /** Rolling EXACT percentiles (median + p90) of daily event value over a
+    * 7-day row frame, per event type. Spark's `percentile` and DuckDB's
+    * `quantile_cont` both linear-interpolate over the sorted frame, so the
+    * estimates agree before rounding; the daily inputs are rounded to 4
+    * decimals first so the interpolation sees identical values on both
+    * engines (the raw per-day double sum is shuffle-order dependent).
+    * Scale: the window partitions by event_type and each frame holds ≤7
+    * pre-aggregated daily rows, so per-partition window state is
+    * calendar-bounded — the raw stream is reduced by the groupBy before
+    * any window pass, and the exact sort inside `percentile` touches 7
+    * values per row, never the event grain. */
+  def winRollingMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts_ntz")).as("day"))
+      .agg(round(sum("value"), 4).as("day_value"))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    daily.select(col("event_type"), col("day"),
+        round(percentile(col("day_value"), lit(0.5)).over(w), 4).as("med7"),
+        round(percentile(col("day_value"), lit(0.9)).over(w), 4).as("p90_7"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Running DISTINCT count per user (how many distinct event types has
+    * this user produced so far) — the scalable rewrite of the window
+    * nobody should run: `count(DISTINCT type) OVER (... ROWS UNBOUNDED
+    * PRECEDING)` needs a per-row set of seen keys (O(n·k) state and no
+    * partial aggregation). Decomposed into two plain windows that stream
+    * in one sort order each: a first-occurrence flag (row_number = 1 over
+    * (user, type)) and a running SUM of that flag over (user) — both
+    * pipelined window passes with O(1) state per row, two shuffles whose
+    * keys are user-bounded. The DuckDB oracle replays the same rewrite,
+    * making the equivalence itself the thing under test. */
+  def winDistinctRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    val wFirst = Window.partitionBy("user_id", "event_type").orderBy("epoch_us", "event_id")
+    val wRun = Window.partitionBy("user_id").orderBy("epoch_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("epoch_us"), col("event_type"))
+      .withColumn("fst", when(row_number().over(wFirst) === 1, lit(1L)).otherwise(lit(0L)))
+      .select(col("user_id"), col("event_id"),
+        sum("fst").over(wRun).as("distinct_types"))
+      .orderBy("user_id", "event_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rolling_median" -> winRollingMedian,
+    "win_distinct_running" -> winDistinctRunning,
     "win_ignore_nulls" -> winIgnoreNulls,
     "win_rank_dense" -> winRankDense,
     "win_topk_per_group" -> winTopkPerGroup,
@@ -192,6 +238,30 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "win_rolling_median" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, round(sum(value), 4) AS day_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day,
+        |  round(quantile_cont(day_value, 0.5) OVER w, 4) AS med7,
+        |  round(quantile_cont(day_value, 0.9) OVER w, 4) AS p90_7
+        |FROM d
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
+    "win_distinct_running" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS e_us, event_type FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, e_us,
+        |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY e_us, event_id) = 1 THEN 1 ELSE 0 END AS fst
+        |  FROM e)
+        |SELECT user_id, event_id,
+        |  CAST(sum(fst) OVER (PARTITION BY user_id ORDER BY e_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS distinct_types
+        |FROM f ORDER BY user_id, event_id""".stripMargin,
     "win_rank_dense" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal,
         |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk, row_number() OVER w AS rn

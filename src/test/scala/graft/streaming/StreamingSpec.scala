@@ -364,6 +364,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming KLL quantiles track the exact batch percentiles within 2% rank") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the real events table as (event_type, value) rows, fed in 3 batches:
+    // a key's sketch state must merge updates across micro-batches
+    val rows = graft.Tables.events(spark, sf001)
+      .select(col("event_type"), col("value")).as[(String, Double)].collect()
+    val byType = rows.groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    val in = MemoryStream[(String, Double)]
+    val q = StreamOps.quantilesPerKey(in.toDS())
+      .toDF("etype", "n", "p50", "p90")
+      .writeStream.format("memory").queryName("t_kll").outputMode("update").start()
+    try {
+      rows.grouped(math.max(rows.length / 3, 1)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq); q.processAllAvailable()
+      }
+      // n is exact and nondecreasing, so the max-n row is the final emission
+      val fin = spark.sql(
+        """SELECT etype, n, p50, p90 FROM t_kll a
+          |WHERE n = (SELECT max(n) FROM t_kll b WHERE b.etype = a.etype)""".stripMargin)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(fin.keySet === byType.keySet)
+      fin.foreach { case (t, (n, p50, p90)) =>
+        val exact = byType(t)
+        assert(n === exact.length.toLong, s"$t: KLL n must count every update")
+        def rankOf(est: Double): Double = exact.count(_ <= est).toDouble / exact.length
+        assert(math.abs(rankOf(p50) - 0.5) <= 0.02, s"$t: p50 $p50 rank ${rankOf(p50)}")
+        assert(math.abs(rankOf(p90) - 0.9) <= 0.02, s"$t: p90 $p90 rank ${rankOf(p90)}")
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("mapGroupsWithState keeps a running per-user count across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
