@@ -26,7 +26,8 @@ object SparkEntry {
     Scans.defs ++ Filters.defs ++ Joins.defs ++ Aggregations.defs ++
       Windows.defs ++ Sorts.defs ++ SetOps.defs ++ ScalarFuncs.defs ++
       EventTime.defs ++ LlmText.defs ++ LlmVector.defs ++ Udfs.defs ++
-      Composite.defs ++ TimeSeries.defs ++ Tpch.defs ++ Sinks.defs ++ Quality.defs
+      Composite.defs ++ TimeSeries.defs ++ Tpch.defs ++ Sinks.defs ++ Quality.defs ++
+      Graph.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -43,7 +44,7 @@ object SparkEntry {
         Windows.oracles ++ Sorts.oracles ++ SetOps.oracles ++ ScalarFuncs.oracles ++
         EventTime.oracles ++ LlmText.oracles ++ LlmVector.oracles ++ Udfs.oracles ++
         Composite.oracles ++ TimeSeries.oracles ++ Tpch.oracles ++ Sinks.oracles ++
-        Quality.oracles
+        Quality.oracles ++ Graph.oracles
     raw.map { case (k, sql) => k -> selfContain(sql, "/root/testdata/sf0.01") }
   }
 

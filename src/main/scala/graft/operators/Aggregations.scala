@@ -158,17 +158,23 @@ object Aggregations {
     * a union of sketches, never a re-scan of raw events. Spark 4 ships the
     * Datasketches KLL family natively (`kll_sketch_agg_double` /
     * `kll_merge_agg_double` / `kll_sketch_get_quantile_double`), so both
-    * levels stay partial-aggregate-friendly codegen'd expressions. No
-    * oracle (sketch internals are engine-specific); the spec asserts the
-    * merged p50/p90 land within 2% of the exact percentiles over all
-    * events and within KLL's rank-error band. */
+    * levels stay partial-aggregate-friendly codegen'd expressions.
+    * k = 800 (not the 200 default) on BOTH levels: KLL's compactor keeps
+    * a RANDOM row subset, so the estimate is a draw — at k=200 the
+    * ~1.6% rank band maps through this distribution's median density to
+    * ~3% value error on unlucky draws (one in ~20 test runs tripped the
+    * 2% gate); k=800 quarters the band (~0.4% rank) for a still-KB-sized
+    * state, and the merge k must match or the union RE-COMPACTS back to
+    * the coarse band. No oracle (sketch internals are engine-specific);
+    * the spec asserts the merged p50/p90 land within 2% of the exact
+    * percentiles over all events and within KLL's rank-error band. */
   def aggQuantileMerge(spark: SparkSession, sfDir: String): DataFrame = {
     val daily = Tables.events(spark, sfDir)
       .groupBy(to_date(col("ts_ntz")).as("day"))
-      .agg(expr("kll_sketch_agg_double(value)").as("sk"))
+      .agg(expr("kll_sketch_agg_double(value, 800)").as("sk"))
     daily
       .agg(count(lit(1)).as("n_days"),
-        expr("kll_merge_agg_double(sk)").as("m"))
+        expr("kll_merge_agg_double(sk, 800)").as("m"))
       .select(col("n_days"),
         round(expr("kll_sketch_get_quantile_double(m, 0.5)"), 4).as("p50_est"),
         round(expr("kll_sketch_get_quantile_double(m, 0.9)"), 4).as("p90_est"))
@@ -389,6 +395,23 @@ object Aggregations {
         round(covar_samp("value", "k"), 4).as("covar_vk"))
       .orderBy("event_type")
 
+  /** Per-group ordinary least squares via the SQL-standard REGR_* family:
+    * slope/intercept/R² of value against the props.k covariate per event
+    * type — the feature-vs-target screening aggregate. One-pass partial
+    * aggregation (the six regr sums) per partition, one shuffle of
+    * 6-double states; pairs with a NULL on either side are skipped by
+    * definition on both engines. 4-decimal margin: ratios of
+    * shuffle-order-dependent double sums (the corr/covar convention). */
+  def aggRegression(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+      .groupBy("event_type")
+      .agg(regr_count(col("value"), col("k")).as("n_pairs"),
+        round(regr_slope(col("value"), col("k")), 4).as("slope"),
+        round(regr_intercept(col("value"), col("k")), 4).as("intercept"),
+        round(regr_r2(col("value"), col("k")), 4).as("r2"))
+      .orderBy("event_type")
+
   /** Higher central moments per return flag: population skewness
     * (m3/m2^1.5) and population excess kurtosis (m4/m2² − 3) of the
     * extended price — Spark's `skewness`/`kurtosis` built-ins compute
@@ -568,6 +591,7 @@ object Aggregations {
     "agg_pivot" -> aggPivot,
     "agg_percentile_exact" -> aggPercentileExact,
     "agg_corr_covar" -> aggCorrCovar,
+    "agg_regression" -> aggRegression,
     "agg_skew_kurt" -> aggSkewKurt,
     "agg_collect_sorted" -> aggCollectSorted,
   )
@@ -733,6 +757,16 @@ object Aggregations {
         |  round(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS corr_vk,
         |  round(covar_samp(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS covar_vk
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_regression" ->
+      """SELECT event_type,
+        |  CAST(regr_count(value, k) AS BIGINT) AS n_pairs,
+        |  round(regr_slope(value, k), 4) AS slope,
+        |  round(regr_intercept(value, k), 4) AS intercept,
+        |  round(regr_r2(value, k), 4) AS r2
+        |FROM (SELECT event_type, value,
+        |        CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_skew_kurt" ->
       """WITH b AS (SELECT l_returnflag AS flag, l_extendedprice AS x FROM lineitem),
         |m AS (SELECT flag, avg(x) AS mu FROM b GROUP BY flag),

@@ -182,8 +182,10 @@ object LlmVector {
   }
 
   /** Semantic-dedup drop threshold — tuned to this corpus exactly like
-    * llm_embed_neardup's 0.45 (max within-label cosine ≈ 0.47 at sf0.01):
-    * a threshold no pair reaches would make the query vacuously green. */
+    * llm_embed_neardup's 0.45 (max within-label cosine ≈ 0.47, measured
+    * at sf0.01; Round11OpsSpec asserts non-vacuity — some pair ≥ τ, kept
+    * set pairwise < τ — at sf0.1, the SF it actually gates): a threshold
+    * no pair reaches would make the query vacuously green. */
   private val SemDedupTau = 0.45
 
   /** Semantic (embedding-space) near-duplicate PRUNING — the SemDeDup

@@ -189,7 +189,45 @@ object Quality {
       .orderBy("col_name")
   }
 
+  /** Distribution-drift detection — the ML-ops monitoring primitive:
+    * Population Stability Index of the order-price distribution between
+    * the dataset's FIRST and LAST order year (both derived from the data,
+    * so the comparison windows are engine-independent). Prices bucket
+    * into 10 equi-width bins over the global [min,max] (agg_histogram's
+    * arithmetic); per bin, the baseline and current proportions use
+    * +0.5/+5.0 additive smoothing so an empty bin contributes a finite
+    * penalty instead of a division by zero, and the PSI term is
+    * (p−q)·ln(p/q). Output is per-bucket (the drill-down a drift alert
+    * needs); the total is the sum of the rows. Deterministic to the
+    * margin: proportions are ratios of exact integer counts, so only the
+    * final ln/multiply touches float variance — rounded at 6.
+    * Scale: one bounds aggregate broadcast back (no driver collect), one
+    * filtered scan of the two years, one ≤10-row shuffle. */
+  def dqDriftPsi(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice").as("v"),
+        year(col("o_orderdate")).as("yr"))
+    val bounds = o.agg(min("v").as("lo"), max("v").as("hi"),
+      min("yr").as("y0"), max("yr").as("y1"))
+    val nB = 10L
+    Fanout.broadcastAll(o, bounds, col("o_orderkey"), col("lo"))
+      .filter(col("yr") === col("y0") || col("yr") === col("y1"))
+      .withColumn("bucket", least(lit(nB - 1),
+        floor((col("v") - col("lo")) / ((col("hi") - col("lo")) / lit(nB.toDouble)))))
+      .groupBy("bucket")
+      .agg(sum(when(col("yr") === col("y0"), 1L).otherwise(0L)).as("c_base"),
+        sum(when(col("yr") === col("y1"), 1L).otherwise(0L)).as("c_cur"))
+      .withColumn("p", (col("c_base") + lit(0.5)) /
+        (sum(col("c_base")).over() + lit(5.0)))
+      .withColumn("q", (col("c_cur") + lit(0.5)) /
+        (sum(col("c_cur")).over() + lit(5.0)))
+      .select(col("bucket"), col("c_base"), col("c_cur"),
+        round((col("p") - col("q")) * log(col("p") / col("q")), 6).as("psi_term"))
+      .orderBy("bucket")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_drift_psi" -> dqDriftPsi,
     "dq_constraints" -> dqConstraints,
     "scd2_history" -> scd2History,
     "dq_observe" -> dqObserve,
@@ -197,6 +235,30 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
+    "dq_drift_psi" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_totalprice AS v,
+        |    date_part('year', o_orderdate) AS yr
+        |  FROM orders),
+        |b AS (SELECT min(v) AS lo, max(v) AS hi,
+        |        min(yr) AS y0, max(yr) AS y1 FROM o),
+        |f AS (
+        |  SELECT least(9, CAST(floor((v - lo) / ((hi - lo) / 10.0)) AS BIGINT))
+        |      AS bucket,
+        |    yr, y0, y1
+        |  FROM o CROSS JOIN b WHERE yr = y0 OR yr = y1),
+        |c AS (
+        |  SELECT bucket,
+        |    CAST(sum(CASE WHEN yr = y0 THEN 1 ELSE 0 END) AS BIGINT) AS c_base,
+        |    CAST(sum(CASE WHEN yr = y1 THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+        |  FROM f GROUP BY bucket),
+        |p AS (
+        |  SELECT bucket, c_base, c_cur,
+        |    (c_base + 0.5) / (sum(c_base) OVER () + 5.0) AS p,
+        |    (c_cur + 0.5) / (sum(c_cur) OVER () + 5.0) AS q
+        |  FROM c)
+        |SELECT bucket, c_base, c_cur, round((p - q) * ln(p / q), 6) AS psi_term
+        |FROM p ORDER BY bucket""".stripMargin,
     // generated from the SAME rule table the operator runs — the oracle
     // cannot drift from the Spark side when a rule is added or edited
     "dq_constraints" -> dqRules.map(_.oracleSelect)

@@ -364,7 +364,35 @@ object TimeSeries {
       .orderBy("month")
   }
 
+  /** STL-lite seasonal decomposition of daily revenue into trend +
+    * weekly-seasonal + residual — the forecasting pre-step: trend is a
+    * centered 7-day moving average (edge days use the partial frame, the
+    * same convention both engines apply to bounded ROWS frames), the
+    * seasonal component is the mean DETRENDED value of the day-of-week,
+    * and the residual is what's left. Every intermediate is pinned
+    * (rev at 2, detrended at 4) before feeding the next stage so the
+    * cross-engine float story stays exact; weekday numbering differs
+    * between engines (Spark 1-7 vs DuckDB 0-6) but only the PARTITION
+    * SETS matter and those are identical. Scale: heavy lifting is the
+    * daily partial-agg shuffle; both windows run over the calendar-sized
+    * (~2.4k rows at any corpus size) aggregate — the win_ewma shape. */
+  def tsSeasonalDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+    val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    val wWd = Window.partitionBy(dayofweek(col("day")))
+    daily
+      .withColumn("trend", round(avg("rev").over(w7), 4))
+      .withColumn("detr", round(col("rev") - col("trend"), 4))
+      .withColumn("seasonal", round(avg("detr").over(wWd), 4))
+      .select(col("day"), col("rev"), col("trend"), col("seasonal"),
+        round(col("detr") - col("seasonal"), 4).as("residual"))
+      .orderBy("day")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_seasonal_decompose" -> tsSeasonalDecompose,
     "ts_concurrent_intervals" -> tsConcurrentIntervals,
     "ts_ship_latency" -> tsShipLatency,
     "win_pareto" -> winPareto,
@@ -381,6 +409,24 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "ts_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT day, rev,
+        |    round(avg(rev) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 4) AS trend
+        |  FROM daily),
+        |d AS (SELECT day, rev, trend, round(rev - trend, 4) AS detr FROM t),
+        |s AS (
+        |  SELECT day, rev, trend, detr,
+        |    round(avg(detr) OVER (PARTITION BY dayofweek(day)), 4) AS seasonal
+        |  FROM d)
+        |SELECT day, rev, trend, seasonal,
+        |  round(detr - seasonal, 4) AS residual
+        |FROM s ORDER BY day""".stripMargin,
     "ts_interp_linear" ->
       """WITH d AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, round(sum(value), 4) AS v

@@ -138,7 +138,28 @@ object ScaleStress {
     // small shuffle), tolerance as-of (the bounded-candidate join), column
     // profiling (one-scan multi-distinct Expand), and the CDC diff (one
     // full-outer shuffle, O(changed rows) feed)
-    "agg_histogram", "join_asof_tolerance", "dq_profile", "sink_change_feed")
+    "agg_histogram", "join_asof_tolerance", "dq_profile", "sink_change_feed",
+    // round 12 batch 2: rolling exact percentiles (daily pre-agg then
+    // ≤7-row frames), the first-occurrence running-distinct rewrite (two
+    // event-grain window passes — the row-linear shape worth a ratio),
+    // higher-moment partial agg (5-double state, should sweep flat),
+    // linear-interp resample (calendar-bounded after the first groupBy),
+    // and the perplexity terciles (linear bigram kernel + lang-stratum
+    // ntile). source_json_corrupt is NOT swept for source_csv_roundtrip's
+    // reason: its l_orderkey<1000 fixture sample doesn't grow with the
+    // multiplier, so a sweep would measure a constant.
+    "win_rolling_median", "win_distinct_running", "agg_skew_kurt",
+    "ts_interp_linear", "llm_perplexity_filter",
+    // round 12 batch 3: PageRank (edge build = lineitem self-join
+    // co-partitioned on the order key, pair fanout bounded by order size;
+    // five iterations of two edge-relation shuffles each), the REGR_*
+    // OLS family (6-double partial-agg state), and the PSI drift monitor
+    // (bounds broadcast + two-year filtered scan + ≤10-row shuffle)
+    "graph_pagerank", "agg_regression", "dq_drift_psi",
+    // round 12 batch 4: triangle counting (capped — see maxMult) and the
+    // STL-lite decomposition (daily partial agg + calendar-sized windows,
+    // the win_ewma shape)
+    "graph_triangles", "ts_seasonal_decompose")
 
   /** Per-query sweep ceilings for operators whose work is super-linear BY
     * DECLARATION, so running them at every scale proves nothing new and
@@ -162,8 +183,15 @@ object ScaleStress {
     * teaches nothing. The linear-work dedup semantics
     * (`llm_minhash_dedup_keep`: star edges to each bucket's min + connected
     * components) runs at every scale in its place. */
+  /** `graph_triangles` is capped at 10: wedge enumeration is Θ(Σ dout²)
+    * BY DEFINITION — linear in nodes only through a degree²-sized
+    * constant (~2.5k wedge rows per node on this co-purchase graph), so
+    * ×100 means ~5×10⁹ wedge rows through the semi-join. The ×10 point
+    * measures the shape; re-paying the constant twice per sweep teaches
+    * nothing (the llm_cosine_topk precedent). */
   private[tools] val maxMult: Map[String, Int] =
-    Map("llm_cosine_topk" -> 10, "llm_dedup_minhash" -> 30)
+    Map("llm_cosine_topk" -> 10, "llm_dedup_minhash" -> 30,
+      "graph_triangles" -> 10)
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -184,7 +184,7 @@ class Round11OpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     val nVecs = graft.Tables.embeddings(spark, sf01).count()
     val dropped = nVecs - kept.length
-    assert(dropped > 0, "threshold must drop something at sf0.01 (tuned non-vacuous)")
+    assert(dropped > 0, "threshold must drop something at sf0.1 (tuned non-vacuous)")
     assert(kept.length > 0)
     // invariant of the star rule: no two KEPT members of one cell are
     // near-dups (else the larger id would have been dropped) — checked
