@@ -251,7 +251,31 @@ object Composite {
       .orderBy("n_not_in")
   }
 
+  /** QUALIFY-clause semantics (filter on a window function without a
+    * subquery — Snowflake/DuckDB/BigQuery SQL surface): top-3 orders per
+    * priority by total price. Spark has no QUALIFY keyword; the
+    * DataFrame form IS the desugaring every QUALIFY implementation
+    * performs (window → filter on its result), so the engines must
+    * agree row-for-row — the oracle runs DuckDB's native QUALIFY to pin
+    * that. row_number over a TOTAL order (price desc, key) keeps the
+    * boundary deterministic where rank/ties would not be. Catalyst
+    * plans the filter above the window with the partition pruned to a
+    * TopK-per-group via the rank-limit pushdown (WindowGroupLimit), so
+    * the full sort never materializes per partition. */
+  def sqlQualify(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority").as("priority"), col("rn"),
+        col("o_orderkey").as("okey"), round(col("o_totalprice"), 2).as("total"))
+      .orderBy("priority", "rn")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_qualify" -> sqlQualify,
     "sql_not_in_null" -> sqlNotInNull,
     "sql_unpivot" -> sqlUnpivot,
     "q10_returned_items" -> q10ReturnedItems,
@@ -267,6 +291,14 @@ object Composite {
   )
 
   val oracles: Map[String, String] = Map(
+    "sql_qualify" ->
+      """SELECT o_orderpriority AS priority,
+        |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+        |  o_orderkey AS okey, round(o_totalprice, 2) AS total
+        |FROM orders
+        |QUALIFY rn <= 3
+        |ORDER BY priority, rn""".stripMargin,
     "sql_not_in_null" ->
       """WITH s AS (
         |  SELECT CASE WHEN c_custkey % 100 = 7 THEN NULL ELSE c_custkey END AS k

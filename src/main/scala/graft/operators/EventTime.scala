@@ -283,7 +283,30 @@ object EventTime {
       .orderBy("day")
   }
 
+  /** Longest consecutive-active-day streak per user, reported as a
+    * histogram (streak length → user count) — the engagement metric
+    * behind "7-day streak" product features, and the canonical
+    * gaps-and-islands idiom: consecutive days share the island key
+    * day − row_number (a date minus its per-user day rank is constant
+    * exactly while days are consecutive), so streaks fall out of one
+    * dedup + one window + two aggregates — no self-join, no recursion.
+    * All-integer/date arithmetic end to end. Scale: the (user, day)
+    * dedup is the only event-grain shuffle; everything after is
+    * user×island-sized. */
+  def evtStreaks(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts_ntz")).as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days
+      .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id").agg(max("len").as("longest"))
+      .groupBy("longest").agg(count(lit(1)).as("n_users"))
+      .orderBy("longest")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_streaks" -> evtStreaks,
     "evt_rolling_actives" -> evtRollingActives,
     "evt_pattern_match" -> evtPatternMatch,
     "evt_cohort_ltv" -> evtCohortLtv,
@@ -299,6 +322,21 @@ object EventTime {
   )
 
   val oracles: Map[String, String] = Map(
+    "evt_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |isl AS (
+        |  SELECT user_id,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |          AS INTEGER) AS grp
+        |  FROM d),
+        |runs AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS len
+        |  FROM isl GROUP BY user_id, grp),
+        |longest AS (
+        |  SELECT user_id, max(len) AS longest FROM runs GROUP BY user_id)
+        |SELECT longest, CAST(count(*) AS BIGINT) AS n_users
+        |FROM longest GROUP BY longest ORDER BY longest""".stripMargin,
     "evt_rolling_actives" ->
       """WITH du AS (
         |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),

@@ -45,56 +45,57 @@ object Graph {
   def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-    // Materialize the edge list ONCE: without this, every iteration's
-    // lazy plan re-executes the lineitem self-join — 2 rebuilds per
-    // iteration (edges + deg), ~11 executions of the most expensive
-    // stage for 5 iterations. The cache is the COMPRESSED COLUMNAR
-    // DataFrame cache, not localCheckpoint: deserialized row checkpoints
-    // of the edge relation OOM'd the 24g sweep JVM at ×100, while
-    // columnar batches are ~3× smaller and spill whole batches to disk
-    // under pressure. Build shape: after repartition(a),
+    // Materialize the graph ONCE, as NODE-sized adjacency rows (source,
+    // sorted-free neighbor array, outdeg), not edge rows: the per-
+    // iteration join then probes a node-count relation instead of an
+    // edge-count one, and the edge-sized work degrades to an explode
+    // that PIPELINES into the partial aggregate (map-side combine on the
+    // target key) — no edge-sized hash build, no edge-sized cache scan.
+    // The edge-row first cut of this operator cached 3 longs × E rows
+    // and re-joined them every iteration: ×29 at the ×100 sweep (133 s);
+    // this form caches one packed array per node (~1/3 the bytes) — see
+    // SCALE.md for its band. Build shape: after repartition(a),
     // HashPartitioning(a) satisfies the (a,b) dedup clustering AND the
-    // window-over-a distribution (one edge-sized exchange total), and
-    // the WindowExec leaves the relation hash-partitioned and sorted on
-    // `a` — InMemoryRelation preserves both, so each iteration's join
-    // exchanges/sorts only the node-sized ranks side, never the edges.
-    // outdeg rides the edge row (window count, not a deg-join) so the
-    // per-iteration plan touches exactly one edge-sized relation.
-    val edges = li.toDF("ok", "a").join(li.toDF("ok", "b"), "ok")
+    // groupBy(a) collect — one edge-sized exchange total, and the
+    // adjacency cache comes out hash-partitioned on `a`, so each
+    // iteration exchanges only the node-sized ranks side. The cache is
+    // the COMPRESSED COLUMNAR DataFrame cache, not localCheckpoint:
+    // deserialized row checkpoints OOM'd the 24g sweep JVM at ×100,
+    // while columnar batches spill whole batches under pressure.
+    val adj = li.toDF("ok", "a").join(li.toDF("ok", "b"), "ok")
       .filter(col("a") =!= col("b"))
       .select("a", "b")
       .repartition(col("a"))
       .dropDuplicates("a", "b")
-      .withColumn("outdeg",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("a")))
+      .groupBy("a")
+      .agg(collect_list("b").as("nbrs"), count(lit(1)).as("outdeg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edges.count() // materialize the cache before the iteration chain
-    // node-sized; HashPartitioning(a) satisfies the (a, outdeg) grouping,
-    // so this aggregate runs exchange-free over the cached edges
-    val deg = edges.select("a", "outdeg").distinct()
-    val n = deg.agg(count(lit(1)).as("n_total"))
+    adj.count() // materialize the cache before the iteration chain
+    val n = adj.agg(count(lit(1)).as("n_total"))
     // ranks carries n_total along so the teleport term needs no rejoin
-    var ranks = Fanout.broadcastAll(deg.select("a"), n, col("a"), col("n_total"))
+    var ranks = Fanout.broadcastAll(adj.select("a"), n, col("a"), col("n_total"))
       .select(col("a").as("node"), col("n_total"), (lit(1.0) / col("n_total")).as("r"))
     for (_ <- 1 to Iters) {
       // no per-iteration checkpoint: each iteration references ranks and
-      // edges once, so the plan grows LINEARLY (5 joins deep) and the
+      // adj once, so the plan grows LINEARLY (5 joins deep) and the
       // whole recurrence executes as one 5-stage job against the hot
-      // edge cache when the final checkpoint below materializes it
-      ranks = edges
+      // adjacency cache when the final checkpoint below materializes it
+      ranks = adj
         .join(ranks.select(col("node").as("a"), col("n_total"), col("r")), "a")
-        .groupBy(col("b").as("node"))
+        .select(col("n_total"), (col("r") / col("outdeg")).as("c"),
+          explode(col("nbrs")).as("node"))
+        .groupBy("node")
         .agg(first("n_total").as("n_total"),
           ((lit(1.0 - Damping) / first("n_total")) +
-            lit(Damping) * sum(col("r") / col("outdeg"))).as("r"))
+            lit(Damping) * sum(col("c"))).as("r"))
     }
-    // eager node-sized checkpoint, then drop the edge cache: CacheManager
-    // holds strong refs, so a sweep/bench session would otherwise carry a
-    // multi-GB entry per (query, sfDir) forever
+    // eager node-sized checkpoint, then drop the adjacency cache:
+    // CacheManager holds strong refs, so a sweep/bench session would
+    // otherwise carry a multi-GB entry per (query, sfDir) forever
     val fin = ranks
       .select(col("node"), round(col("r") * col("n_total"), 6).as("pr_scaled"))
       .localCheckpoint()
-    edges.unpersist()
+    adj.unpersist()
     fin.orderBy("node")
   }
 
@@ -193,9 +194,139 @@ object Graph {
     fin.orderBy("n_edges")
   }
 
+  // graph_cc iterates min-label propagation to the FIXPOINT (the first
+  // cut ran a fixed 8 rounds, and sf0.01 has a component of diameter > 8
+  // — the spec caught round 9 still moving labels). The cap only guards
+  // a logic bug and fails loudly instead of returning split components
+  // (the LlmText.connectedComponents contract).
+  private val CcMaxRounds = 64
+
+  /** Connected components over the FREQUENT co-purchase graph (two parts
+    * adjacent when they co-occur in ≥ 2 distinct orders) — the segmentation
+    * primitive beside PageRank's centrality and the dedup family's
+    * doc-clustering CC (LlmText's min-label propagation, which this makes
+    * first-class on a relational-born graph). The support-≥2 threshold is
+    * the point: the support-1 graph is one giant near-clique (every order
+    * fully connects its parts), while requiring a REPEATED pairing leaves
+    * a sparse graph whose component-size histogram actually says
+    * something. Shape: the thresholded edge build is the same
+    * co-partitioned self-join with a groupBy-count instead of a dedup
+    * (pair fanout still bounded by order size); propagation runs to the
+    * FIXPOINT (ccLabels — per round the pagerank adjacency shape, sum-
+    * monotonicity convergence test, loud cap), so the output is true
+    * connected components, oracle-matched against DuckDB's recursive
+    * transitive closure. Output: top-20 components by size. */
+  /** The support-≥2 symmetric pair list — factored out so the spec can
+    * assert the defining CC property (every edge's endpoints share a
+    * label) against exactly the operator's edges. */
+  private[operators] def ccPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+    li.toDF("ok", "a").join(li.toDF("ok", "b"), "ok")
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(countDistinct("ok").as("support"))
+      .filter(col("support") >= 2)
+      .select("a", "b")
+  }
+
+  /** The propagation core: Pregel-style driver loop to the FIXPOINT.
+    * Graph state is the pagerank adjacency form (self-loop appended so a
+    * node's own label competes in the same min and the node set is
+    * preserved); per round one node-sized label exchange + one explode
+    * that pipelines into the min partial-agg, lineage truncated by an
+    * eager per-round localCheckpoint. Convergence check costs one tiny
+    * aggregate, no join: labels only ever DECREASE, so the label sum is
+    * strictly monotone and fixpoint ⟺ sum unchanged. Returns the
+    * checkpointed (node, lbl) relation, edge cache released. */
+  private[operators] def ccLabels(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = ccPairs(spark, sfDir)
+    val adjF = pairs
+      .unionByName(pairs.select(col("a")).distinct()
+        .select(col("a"), col("a").as("b")))
+      .repartition(col("a"))
+      .groupBy("a").agg(collect_list("b").as("nbrs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    adjF.count() // materialize before the dependents (cold-cache race)
+    var lab = adjF.select(col("a").as("node"), col("a").as("lbl")).localCheckpoint()
+    var prevSum = lab.agg(sum("lbl")).head().get(0)
+    var converged = prevSum == null // empty graph is trivially converged
+    var iter = 0
+    while (!converged && iter < CcMaxRounds) {
+      val next = adjF.join(lab.select(col("node").as("a"), col("lbl")), "a")
+        .select(explode(col("nbrs")).as("node"), col("lbl"))
+        .groupBy("node").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      val s = next.agg(sum("lbl")).head().get(0)
+      lab = next
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    require(converged,
+      s"graph_cc did not converge within $CcMaxRounds rounds — component diameter bug?")
+    adjF.unpersist()
+    lab
+  }
+
+  def graphCc(spark: SparkSession, sfDir: String): DataFrame =
+    ccLabels(spark, sfDir)
+      .groupBy(col("lbl").as("component"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(desc("n_nodes"), col("component"))
+      .limit(20)
+      .orderBy(desc("n_nodes"), col("component"))
+
+  /** Per-edge Jaccard similarity over the co-purchase graph — the
+    * link-prediction / "customers who bought X also bought Y" primitive:
+    * for every adjacent part pair, |N(a) ∩ N(b)| / |N(a) ∪ N(b)| over
+    * FULL (undirected) neighborhoods, top-20 strongest pairs. Same
+    * kernel as graph_triangles: sorted adjacency arrays + the codegen'd
+    * `graft_sorted_intersect_count` merge scan, so the Σ deg(a)+deg(b)
+    * comparisons run row-local inside edge rows (degree²-sized BY
+    * DEFINITION — declared shape, sweep-capped ×10). Degrees come free
+    * as size(adjacency), no separate degree join; union size by
+    * inclusion-exclusion. The final top-20 is a TakeOrdered over
+    * edge-sized scored rows, rounded BEFORE ranking so the order ties
+    * on the engine-identical rounded key. */
+  def graphJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.SortedIntersectExprs.register(spark)
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+    // symmetric directed edges, one row per (a,b): the a-partitioned cache
+    // serves the adjacency build, the a<b half serves as the pair list
+    val sym = li.toDF("ok", "a").join(li.toDF("ok", "b"), "ok")
+      .filter(col("a") =!= col("b"))
+      .select("a", "b")
+      .repartition(col("a"))
+      .dropDuplicates("a", "b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSym = sym.count() // materialize before the dependents
+    val adj = sym.groupBy("a").agg(sort_array(collect_list("b")).as("nbrs"))
+    val adjB = adj.select(col("a").as("b"), col("nbrs").as("nb"))
+    // adjB's array payload is 8 B × nSym (each directed edge appears in
+    // exactly one source's array) — same budget rule as graph_triangles
+    val probe = if (nSym <= BcastEdgeMax) broadcast(adjB) else adjB.hint("shuffle_hash")
+    val fin = sym.filter(col("a") < col("b"))
+      .join(adj.hint("shuffle_hash"), Seq("a"))  // co-partitioned, no exchange
+      .join(probe, Seq("b"))
+      .select(col("a").as("part_a"), col("b").as("part_b"),
+        expr("graft_sorted_intersect_count(nbrs, nb)").cast("long").as("common_nbrs"),
+        (size(col("nbrs")) + size(col("nb"))).cast("long").as("deg_sum"))
+      .withColumn("jaccard",
+        round(col("common_nbrs") / (col("deg_sum") - col("common_nbrs")), 6))
+      .select("part_a", "part_b", "common_nbrs", "jaccard")
+      .orderBy(desc("jaccard"), col("part_a"), col("part_b"))
+      .limit(20)
+      .localCheckpoint() // eager top-20, then drop the edge cache
+    sym.unpersist()
+    fin.orderBy(desc("jaccard"), col("part_a"), col("part_b"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> graphPagerank,
     "graph_triangles" -> graphTriangles,
+    "graph_cc" -> graphCc,
+    "graph_jaccard" -> graphJaccard,
   )
 
   val oracles: Map[String, String] = Map(
@@ -222,6 +353,42 @@ object Graph {
         |SELECT pr.node, round(pr.r * n.n_total, 6) AS pr_scaled
         |FROM pr CROSS JOIN n WHERE pr.it = 5
         |ORDER BY pr.node""".stripMargin,
+    "graph_cc" ->
+      """WITH RECURSIVE
+        |li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |f AS (
+        |  SELECT a.p AS a, b.p AS b
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.p <> b.p
+        |  GROUP BY 1, 2 HAVING count(DISTINCT a.ok) >= 2),
+        |n AS (SELECT DISTINCT a AS v FROM f),
+        |reach(node, r) AS (
+        |  SELECT v, v FROM n
+        |  UNION
+        |  SELECT f.b, reach.r FROM f JOIN reach ON reach.node = f.a),
+        |cc AS (SELECT node, min(r) AS lbl FROM reach GROUP BY node)
+        |SELECT lbl AS component, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM cc GROUP BY lbl
+        |ORDER BY n_nodes DESC, component LIMIT 20""".stripMargin,
+    "graph_jaccard" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS a, b.p AS b
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.p <> b.p),
+        |deg AS (SELECT a AS v, count(*) AS d FROM e GROUP BY 1),
+        |c AS (SELECT e1.a AS u, e2.a AS w, count(*) AS common
+        |      FROM e e1 JOIN e e2 ON e1.b = e2.b AND e1.a < e2.a
+        |      GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT e.a AS part_a, e.b AS part_b,
+        |    CAST(coalesce(c.common, 0) AS BIGINT) AS common_nbrs,
+        |    round(CAST(coalesce(c.common, 0) AS DOUBLE) /
+        |      (da.d + db.d - coalesce(c.common, 0)), 6) AS jaccard
+        |  FROM e
+        |  LEFT JOIN c ON c.u = e.a AND c.w = e.b
+        |  JOIN deg da ON da.v = e.a
+        |  JOIN deg db ON db.v = e.b
+        |  WHERE e.a < e.b)
+        |SELECT part_a, part_b, common_nbrs, jaccard
+        |FROM pairs ORDER BY jaccard DESC, part_a, part_b LIMIT 20""".stripMargin,
     "graph_triangles" ->
       """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem),
         |e AS (

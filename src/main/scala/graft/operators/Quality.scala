@@ -226,7 +226,29 @@ object Quality {
       .orderBy("bucket")
   }
 
+  /** Benford's-law first-digit audit of order totals — the classic
+    * fabricated-numbers screen an auditor runs over a money column:
+    * observed share of each leading significant digit vs the Benford
+    * expectation log10(1 + 1/d), with the per-digit deviation out (the
+    * drill-down). The digit is extracted in EXACT integer space — cents
+    * = round(price·100) as a long, first character of its decimal string
+    * — never via floor(log10(v)) whose last-ulp behavior near powers of
+    * ten could differ across engines. One scan, ≤9-row shuffle, a 9-row
+    * global window for the share denominator. */
+  def dqBenford(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      .withColumn("share", round(col("n_obs") / sum("n_obs").over(), 6))
+      .withColumn("benford", round(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
+      .select(col("digit"), col("n_obs"), col("share"), col("benford"),
+        round(col("share") - col("benford"), 6).as("dev"))
+      .orderBy("digit")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_benford" -> dqBenford,
     "dq_drift_psi" -> dqDriftPsi,
     "dq_constraints" -> dqConstraints,
     "scd2_history" -> scd2History,
@@ -235,6 +257,21 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
+    "dq_benford" ->
+      """WITH cents AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders WHERE round(o_totalprice * 100) > 0),
+        |d AS (
+        |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM cents),
+        |g AS (
+        |  SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY digit)
+        |SELECT digit, n_obs,
+        |  round(CAST(n_obs AS DOUBLE) / sum(n_obs) OVER (), 6) AS share,
+        |  round(log10(1.0 + 1.0 / digit), 6) AS benford,
+        |  round(round(CAST(n_obs AS DOUBLE) / sum(n_obs) OVER (), 6)
+        |    - round(log10(1.0 + 1.0 / digit), 6), 6) AS dev
+        |FROM g ORDER BY digit""".stripMargin,
     "dq_drift_psi" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_totalprice AS v,

@@ -391,7 +391,38 @@ object TimeSeries {
       .orderBy("day")
   }
 
+  /** CUSUM change-point detection over per-type daily value — drift
+    * detection in TIME, complementing dq_drift_psi's drift in
+    * DISTRIBUTION: the two-sided tabular CUSUM with the standard
+    * k = 0.5σ allowance and h = 4σ decision interval (μ, σ data-derived
+    * per type, rounded before use so both engines iterate identical
+    * constants). The textbook recurrence S⁺_t = max(0, S⁺_{t-1} + x_t −
+    * μ − k) looks loop-only, but has a closed windowed form: with
+    * P_t = Σ(x_i − μ − k), S⁺_t = P_t − min_{i≤t} P_i — a running sum
+    * minus a running min, two O(1)-state frames, no recursion. Heavy
+    * lifting is the daily partial-agg shuffle; both windows run on the
+    * calendar-sized daily table (the win_ewma shape). */
+  def tsCusum(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts_ntz")).as("day"))
+      .agg(round(sum("value"), 4).as("v"))
+    val stats = daily.groupBy("event_type")
+      .agg(round(avg("v"), 6).as("mu"), round(stddev_samp("v"), 6).as("sigma"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(stats), Seq("event_type"))
+      .withColumn("p_up", sum(col("v") - col("mu") - lit(0.5) * col("sigma")).over(w))
+      .withColumn("p_dn", sum(col("mu") - lit(0.5) * col("sigma") - col("v")).over(w))
+      .withColumn("s_up", round(col("p_up") - min("p_up").over(w), 4))
+      .withColumn("s_dn", round(col("p_dn") - min("p_dn").over(w), 4))
+      .select(col("event_type"), col("day"), col("v"), col("s_up"), col("s_dn"),
+        (col("s_up") > lit(4) * col("sigma") ||
+          col("s_dn") > lit(4) * col("sigma")).as("alarm"))
+      .orderBy("event_type", "day")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_cusum" -> tsCusum,
     "ts_seasonal_decompose" -> tsSeasonalDecompose,
     "ts_concurrent_intervals" -> tsConcurrentIntervals,
     "ts_ship_latency" -> tsShipLatency,
@@ -409,6 +440,31 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "ts_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, round(sum(value), 4) AS v
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, round(avg(v), 6) AS mu,
+        |    round(stddev_samp(v), 6) AS sigma
+        |  FROM daily GROUP BY 1),
+        |p AS (
+        |  SELECT d.event_type, d.day, d.v, st.sigma,
+        |    sum(d.v - st.mu - 0.5 * st.sigma) OVER w AS p_up,
+        |    sum(st.mu - 0.5 * st.sigma - d.v) OVER w AS p_dn
+        |  FROM daily d JOIN st USING (event_type)
+        |  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (
+        |  SELECT event_type, day, v, sigma,
+        |    round(p_up - min(p_up) OVER w2, 4) AS s_up,
+        |    round(p_dn - min(p_dn) OVER w2, 4) AS s_dn
+        |  FROM p
+        |  WINDOW w2 AS (PARTITION BY event_type ORDER BY day
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, v, s_up, s_dn,
+        |  (s_up > 4 * sigma OR s_dn > 4 * sigma) AS alarm
+        |FROM s ORDER BY event_type, day""".stripMargin,
     "ts_seasonal_decompose" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,

@@ -159,7 +159,12 @@ object ScaleStress {
     // round 12 batch 4: triangle counting (capped — see maxMult) and the
     // STL-lite decomposition (daily partial agg + calendar-sized windows,
     // the win_ewma shape)
-    "graph_triangles", "ts_seasonal_decompose")
+    "graph_triangles", "ts_seasonal_decompose",
+    // round 12 batch 5: connected components (8 bounded min-label rounds
+    // over the support-≥2 edge cache — linear per round) and per-edge
+    // Jaccard (sorted-adjacency intersect — degree²-shape, capped with
+    // graph_triangles)
+    "graph_cc", "graph_jaccard")
 
   /** Per-query sweep ceilings for operators whose work is super-linear BY
     * DECLARATION, so running them at every scale proves nothing new and
@@ -191,7 +196,7 @@ object ScaleStress {
     * nothing (the llm_cosine_topk precedent). */
   private[tools] val maxMult: Map[String, Int] =
     Map("llm_cosine_topk" -> 10, "llm_dedup_minhash" -> 30,
-      "graph_triangles" -> 10)
+      "graph_triangles" -> 10, "graph_jaccard" -> 10)
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

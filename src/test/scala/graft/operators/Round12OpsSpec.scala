@@ -53,4 +53,30 @@ class Round12OpsSpec extends SparkSpec {
     assert(viaDv.exceptAll(expected).isEmpty && expected.exceptAll(viaDv).isEmpty,
       "merge-on-read result must equal the logical delete")
   }
+
+  test("graph_cc labels satisfy the defining CC property on every edge") {
+    // ccLabels iterates to a require()d fixpoint, so convergence is
+    // enforced by construction; what a fixpoint alone does NOT guarantee
+    // is that it is the RIGHT fixpoint. Pin the defining property
+    // directly: every edge's endpoints carry the same label, and every
+    // label is the component MIN (label ≤ node, label is itself a node).
+    // sf0.01, not sf0.001: the smallest SF's 200-part universe is dense
+    // enough that even the support-≥2 graph is one component (the oracle
+    // agrees — 1 row there); the structure the operator exists to report
+    // appears from sf0.01 up (9 components there, 20+ at sf0.1).
+    val lab = Graph.ccLabels(spark, sf01)
+    val pairs = Graph.ccPairs(spark, sf01)
+    val mismatched = pairs
+      .join(lab.select(col("node").as("a"), col("lbl").as("la")), "a")
+      .join(lab.select(col("node").as("b"), col("lbl").as("lb")), "b")
+      .filter(col("la") =!= col("lb")).count()
+    assert(mismatched == 0, s"$mismatched edges straddle components")
+    assert(lab.filter(col("lbl") > col("node")).count() == 0, "label must be a min")
+    val labelSet = lab.select(col("lbl").as("node")).distinct()
+    assert(labelSet.exceptAll(lab.select("node").distinct()).isEmpty,
+      "every label must be a member node")
+    val comps = lab.select("lbl").distinct().count()
+    assert(comps >= 2, s"support->=2 graph collapsed to $comps component(s)")
+    assert(lab.count() > comps, "components must be non-trivial (some size > 1)")
+  }
 }
