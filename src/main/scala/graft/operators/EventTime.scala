@@ -305,7 +305,46 @@ object EventTime {
       .orderBy("longest")
   }
 
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * canonical marketing-warehouse scoring: per purchasing user, last
+    * active day, purchase count, and spend, each cut into quintiles,
+    * users counted per (R,F,M) cell. Scores are QUANTILE-CUT (1 + number
+    * of quintile thresholds the metric exceeds), not ntile: equal metric
+    * values get equal scores (ntile splits ties arbitrarily), and the
+    * plan needs no global window — one user-grain aggregate, ONE 1-row
+    * threshold aggregate broadcast back (Fanout), then row-local
+    * scoring. R scores on the last-active day number directly (recent =
+    * high = R5, so 555 = champions). Thresholds are exact interpolated
+    * percentiles; both engines interpolate a + (b−a)·g, and metric
+    * values are integers or 4-rounded, so threshold comparisons are
+    * engine-identical. */
+  def evtRfm(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        datediff(to_date(col("ts_ntz")), to_date(lit("2020-01-01"))).as("day_num"),
+        col("value"))
+      .groupBy("user_id")
+      .agg(max("day_num").cast("double").as("r_raw"),
+        count(lit(1)).cast("double").as("f_raw"),
+        round(sum("value"), 4).as("m_raw"))
+    val thr = per.agg(
+      expr("percentile(r_raw, array(0.2, 0.4, 0.6, 0.8))").as("rq"),
+      expr("percentile(f_raw, array(0.2, 0.4, 0.6, 0.8))").as("fq"),
+      expr("percentile(m_raw, array(0.2, 0.4, 0.6, 0.8))").as("mq"))
+    def tile(v: String, q: String) =
+      (lit(1) + (col(v) > col(q)(0)).cast("int") + (col(v) > col(q)(1)).cast("int") +
+        (col(v) > col(q)(2)).cast("int") + (col(v) > col(q)(3)).cast("int")).cast("long")
+    Fanout.broadcastAll(per, thr, col("user_id"), col("rq")(0))
+      .select(tile("r_raw", "rq").as("r_score"), tile("f_raw", "fq").as("f_score"),
+        tile("m_raw", "mq").as("m_score"), col("m_raw"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"), round(avg("m_raw"), 4).as("avg_monetary"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_rfm" -> evtRfm,
     "evt_streaks" -> evtStreaks,
     "evt_rolling_actives" -> evtRollingActives,
     "evt_pattern_match" -> evtPatternMatch,
@@ -322,6 +361,36 @@ object EventTime {
   )
 
   val oracles: Map[String, String] = Map(
+    "evt_rfm" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST(max(date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)))
+        |      AS DOUBLE) AS r_raw,
+        |    CAST(count(*) AS DOUBLE) AS f_raw,
+        |    round(sum(value), 4) AS m_raw
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |thr AS (
+        |  SELECT
+        |    quantile_cont(r_raw, [0.2, 0.4, 0.6, 0.8]) AS rq,
+        |    quantile_cont(f_raw, [0.2, 0.4, 0.6, 0.8]) AS fq,
+        |    quantile_cont(m_raw, [0.2, 0.4, 0.6, 0.8]) AS mq
+        |  FROM per),
+        |scored AS (
+        |  SELECT
+        |    CAST(1 + CAST(r_raw > rq[1] AS INT) + CAST(r_raw > rq[2] AS INT)
+        |      + CAST(r_raw > rq[3] AS INT) + CAST(r_raw > rq[4] AS INT)
+        |      AS BIGINT) AS r_score,
+        |    CAST(1 + CAST(f_raw > fq[1] AS INT) + CAST(f_raw > fq[2] AS INT)
+        |      + CAST(f_raw > fq[3] AS INT) + CAST(f_raw > fq[4] AS INT)
+        |      AS BIGINT) AS f_score,
+        |    CAST(1 + CAST(m_raw > mq[1] AS INT) + CAST(m_raw > mq[2] AS INT)
+        |      + CAST(m_raw > mq[3] AS INT) + CAST(m_raw > mq[4] AS INT)
+        |      AS BIGINT) AS m_score,
+        |    m_raw
+        |  FROM per CROSS JOIN thr)
+        |SELECT r_score, f_score, m_score,
+        |  CAST(count(*) AS BIGINT) AS n_users, round(avg(m_raw), 4) AS avg_monetary
+        |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "evt_streaks" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

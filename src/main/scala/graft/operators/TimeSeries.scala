@@ -421,7 +421,33 @@ object TimeSeries {
       .orderBy("event_type", "day")
   }
 
+  /** Autocorrelation function of daily revenue at lags 1–7 — the
+    * seasonality/momentum diagnostic a forecaster runs before picking a
+    * model (the weekly lag-7 spike is what ts_seasonal_decompose then
+    * removes). One daily partial-agg shuffle, ONE window pass computing
+    * all seven lag columns (they share the single calendar-sized sort),
+    * then an explode melts (lag, x, y) pairs and a per-lag `corr`
+    * partial-aggregate finishes — never seven scans. Pairs with no
+    * lagged partner drop from corr on both engines by null semantics. */
+  def tsAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("x"))
+    val w = Window.orderBy("day")
+    val lagCols = (1 to 7).map(l => lag("x", l).over(w).as(s"y$l"))
+    val pairs = (1 to 7).map(l =>
+      struct(lit(l.toLong).as("lag_d"), col(s"y$l").as("y")))
+    daily
+      .select(col("x") +: lagCols: _*)
+      .select(col("x"), explode(array(pairs: _*)).as("p"))
+      .select(col("p.lag_d").as("lag_d"), col("x"), col("p.y").as("y"))
+      .groupBy("lag_d")
+      .agg(count(col("y")).as("n_pairs"), round(corr("x", "y"), 4).as("acf"))
+      .orderBy("lag_d")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_autocorr" -> tsAutocorr,
     "ts_cusum" -> tsCusum,
     "ts_seasonal_decompose" -> tsSeasonalDecompose,
     "ts_concurrent_intervals" -> tsConcurrentIntervals,
@@ -440,6 +466,30 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "ts_autocorr" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    round(sum(o_totalprice), 2) AS x
+        |  FROM orders GROUP BY 1),
+        |l AS (
+        |  SELECT x,
+        |    lag(x, 1) OVER w AS y1, lag(x, 2) OVER w AS y2,
+        |    lag(x, 3) OVER w AS y3, lag(x, 4) OVER w AS y4,
+        |    lag(x, 5) OVER w AS y5, lag(x, 6) OVER w AS y6,
+        |    lag(x, 7) OVER w AS y7
+        |  FROM daily WINDOW w AS (ORDER BY day)),
+        |u AS (
+        |  SELECT 1 AS lag_d, x, y1 AS y FROM l
+        |  UNION ALL SELECT 2, x, y2 FROM l
+        |  UNION ALL SELECT 3, x, y3 FROM l
+        |  UNION ALL SELECT 4, x, y4 FROM l
+        |  UNION ALL SELECT 5, x, y5 FROM l
+        |  UNION ALL SELECT 6, x, y6 FROM l
+        |  UNION ALL SELECT 7, x, y7 FROM l)
+        |SELECT CAST(lag_d AS BIGINT) AS lag_d,
+        |  CAST(count(y) AS BIGINT) AS n_pairs,
+        |  round(corr(x, y), 4) AS acf
+        |FROM u GROUP BY lag_d ORDER BY lag_d""".stripMargin,
     "ts_cusum" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, round(sum(value), 4) AS v

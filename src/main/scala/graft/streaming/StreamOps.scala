@@ -231,6 +231,53 @@ object StreamOps {
       .transformWithState(new QuantileProcessor(k), TimeMode.None(), OutputMode.Update())
   }
 
+  case class CusumState(pUp: Double, minUp: Double, pDn: Double, minDn: Double)
+
+  /** Online CUSUM drift monitor — the streaming twin of
+    * `TimeSeries.tsCusum`: per monitored key the state is FOUR doubles
+    * (the two prefix sums and their running minima — the batch
+    * operator's closed form carried incrementally), O(1) regardless of
+    * stream length. The (μ, σ) baseline is TRAINED OFFLINE and passed in
+    * — the deployment shape of a monitoring rule: batch job fits the
+    * baseline, the stream scores against it. Rows are applied in day
+    * order within each micro-batch (sorted in the handler, bounded by
+    * days-per-batch), and every update is the same sequential double
+    * arithmetic the batch window evaluates left-to-right, so an in-order
+    * stream reproduces the batch rows EXACTLY, rounding included
+    * (StreamingSpec pins parity on the real events). Emits one row per
+    * input day: (key, day, s_up, s_dn, alarm at 4σ). */
+  class CusumProcessor(baseline: Map[String, (Double, Double)])
+      extends StatefulProcessor[String, (String, Long, Double), (String, Long, Double, Double, Boolean)] {
+    @transient private var st: ValueState[CusumState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CusumState]("cusum", Encoders.product[CusumState], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, Long, Double)],
+        timerValues: TimerValues): Iterator[(String, Long, Double, Double, Boolean)] = {
+      val (mu, sigma) = baseline(key)
+      val k = 0.5 * sigma
+      val h = 4 * sigma
+      var s = if (st.exists()) st.get()
+        else CusumState(0.0, Double.MaxValue, 0.0, Double.MaxValue)
+      val out = rows.toSeq.sortBy(_._2).map { case (_, day, v) =>
+        val pUp = s.pUp + (v - mu - k)
+        val pDn = s.pDn + (mu - k - v)
+        s = CusumState(pUp, math.min(s.minUp, pUp), pDn, math.min(s.minDn, pDn))
+        val sUp = BigDecimal(pUp - s.minUp).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val sDn = BigDecimal(pDn - s.minDn).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (key, day, sUp, sDn, sUp > h || sDn > h)
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  def cusumPerKey(rows: Dataset[(String, Long, Double)],
+      baseline: Map[String, (Double, Double)]): Dataset[(String, Long, Double, Double, Boolean)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .transformWithState(new CusumProcessor(baseline), TimeMode.None(), OutputMode.Update())
+  }
+
   /** Arbitrary stateful processing: running per-user event count
     * (mapGroupsWithState; update output mode). */
   def runningUserCounts(events: Dataset[Evt]): Dataset[(Long, Long)] = {

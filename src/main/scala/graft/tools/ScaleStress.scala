@@ -160,11 +160,18 @@ object ScaleStress {
     // STL-lite decomposition (daily partial agg + calendar-sized windows,
     // the win_ewma shape)
     "graph_triangles", "ts_seasonal_decompose",
-    // round 12 batch 5: connected components (8 bounded min-label rounds
-    // over the support-≥2 edge cache — linear per round) and per-edge
-    // Jaccard (sorted-adjacency intersect — degree²-shape, capped with
-    // graph_triangles)
-    "graph_cc", "graph_jaccard")
+    // round 12 batch 5: connected components (fixpoint min-label rounds
+    // over the support-≥2 adjacency cache — linear per round) and
+    // per-edge Jaccard (sorted-adjacency intersect — degree²-shape,
+    // capped with graph_triangles)
+    "graph_cc", "graph_jaccard",
+    // round 12 batch 6: CUSUM (daily agg + calendar-sized windows),
+    // streaks (one event-grain distinct + user-sized windows), Benford
+    // (scan + ≤9-row shuffle), QUALIFY (rank-limit-pushed window)
+    "ts_cusum", "evt_streaks", "dq_benford", "sql_qualify",
+    // round 12 batch 7: RFM (user-grain agg + broadcast quantile cuts —
+    // no global window) and the ACF fan (one calendar-sized window pass)
+    "evt_rfm", "ts_autocorr")
 
   /** Per-query sweep ceilings for operators whose work is super-linear BY
     * DECLARATION, so running them at every scale proves nothing new and

@@ -201,6 +201,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("sql_qualify plans the rank-limit pushdown (WindowGroupLimit)") {
+    // the QUALIFY desugaring's scale claim: the rn <= 3 filter is pushed
+    // below the window as a top-k-per-group limit — partial (pre-shuffle)
+    // AND final — so the full per-partition sort never materializes
+    val plan = formatted(Composite.sqlQualify(spark, sf001))
+    val limits = """\(\d+\) WindowGroupLimit""".r.findAllIn(plan).size
+    assert(limits == 2, s"expected partial+final WindowGroupLimit, saw $limits")
+  }
+
   test("no declared query plans an accidental cross product") {
     // Intentional pairwise/cross plans: the bounded 25×5 cross-join grid,
     // and agg_theta_intersect's pairwise sketch comparison — a theta

@@ -422,4 +422,54 @@ class StreamingSpec extends SparkSpec {
       assert(latest == Map(1L -> 3L, 2L -> 1L))
     } finally q.stop()
   }
+
+  test("streaming CUSUM reproduces the batch change-point rows exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{avg, round, stddev_samp, sum, to_date}
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the batch operator's own inputs: rounded per-type daily values and
+    // the offline-trained (mu, sigma) baseline, identical arithmetic
+    val daily = graft.Tables.events(spark, sf001)
+      .groupBy(col("event_type"), to_date(col("ts_ntz")).as("day"))
+      .agg(round(sum("value"), 4).as("v"))
+    val base = daily.groupBy("event_type")
+      .agg(round(avg("v"), 6).as("mu"), round(stddev_samp("v"), 6).as("sigma"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val rows = daily.collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay, r.getDouble(2)))
+      .sortBy(t => (t._2, t._1))
+    // batch truth keyed by (type, epochDay)
+    val batch = graft.operators.TimeSeries.tsCusum(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay) ->
+        (r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+    // the synthetic daily series is stationary by construction, so no 4σ
+    // alarm fires at this SF — non-vacuity is that the CUSUM statistic
+    // itself moves (some S⁺/S⁻ strictly positive), parity is the test
+    assert(batch.nonEmpty && batch.exists(v => v._2._1 > 0 || v._2._2 > 0),
+      "fixture should move the CUSUM statistic")
+    val in = MemoryStream[(String, Long, Double)]
+    val q = StreamOps.cusumPerKey(in.toDS, base)
+      .toDF("k", "day", "s_up", "s_dn", "alarm")
+      .writeStream.format("memory").queryName("t_cusum").outputMode("update").start()
+    try {
+      // three micro-batches in day order: state must carry across batches
+      rows.grouped(math.max(rows.length / 3, 1)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq); q.processAllAvailable()
+      }
+      val got = spark.sql("SELECT k, day, s_up, s_dn, alarm FROM t_cusum").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+      assert(got === batch,
+        "streaming CUSUM emissions must equal the batch operator's rows")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
