@@ -712,6 +712,62 @@ object LlmVector {
     MultimodalOps.decode(MultimodalOps.pack(MultimodalOps.fromDocuments(spark, sfDir)))
       .toDF().orderBy("doc_id")
 
+  /** MMR (maximal marginal relevance) diversified re-ranking — the
+    * serving-stage operator between retrieval and the context window: a
+    * recall stage produces CANDIDATES, the reranker trades relevance
+    * against redundancy (score = λ·rel − (1−λ)·max-sim-to-selected,
+    * λ = 0.7) so near-duplicate passages don't crowd out coverage.
+    * The candidate gather is distributed (exact cosine to the probe —
+    * the min-vec_id embedding — via broadcast + TakeOrdered top-32); the
+    * greedy loop then runs on the COLLECTED 32-row candidate list — a
+    * bounded planning list by the operator's own definition (reranking
+    * exists because the candidate set is small; the BPE-argmax
+    * convention) — selecting 8 of 32 with ties by vec_id. Driver
+    * arithmetic is plain sequential double ops over a deterministically
+    * ordered list, so output is rerun-stable. No oracle (greedy
+    * selection isn't SQL); Round12OpsSpec replays the greedy invariant
+    * per step and pins the diversity win vs the plain top-8. */
+  def llmMmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val probe = e.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"), col("nrm").as("pn"))
+    val cands = e.crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= col("pid"))
+      .withColumn("rel", dot("embedding", "pe") / (col("nrm") * col("pn")))
+      .orderBy(desc("rel"), col("vec_id")).limit(MmrCandidates)
+      .select("vec_id", "rel", "embedding", "nrm")
+      .collect() // bounded: exactly MmrCandidates rows (the rerank input)
+    val cs = cands.map(r => (r.getLong(0), r.getDouble(1),
+      r.getSeq[Float](2).map(_.toDouble).toArray, r.getDouble(3)))
+    def cos(a: (Long, Double, Array[Double], Double), b: (Long, Double, Array[Double], Double)): Double = {
+      var s = 0.0; var i = 0
+      while (i < a._3.length) { s += a._3(i) * b._3(i); i += 1 }
+      s / (a._4 * b._4)
+    }
+    var selected = Vector.empty[(Long, Double, Array[Double], Double, Double)]
+    var rest = cs.toList
+    while (selected.size < MmrK && rest.nonEmpty) {
+      val best = rest.map { c =>
+        val maxSim = if (selected.isEmpty) 0.0
+          else selected.map(s => cos(c, (s._1, s._2, s._3, s._4))).max
+        (c, MmrLambda * c._2 - (1 - MmrLambda) * maxSim)
+      }.maxBy { case (c, score) => (score, -c._1) }
+      selected :+= ((best._1._1, best._1._2, best._1._3, best._1._4, best._2))
+      rest = rest.filterNot(_._1 == best._1._1)
+    }
+    import spark.implicits._
+    selected.zipWithIndex.map { case ((id, rel, _, _, score), i) =>
+      ((i + 1).toLong, id,
+        BigDecimal(rel).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("rank", "vec_id", "relevance", "mmr_score")
+      .orderBy("rank")
+  }
+
+  private val MmrCandidates = 32
+  private val MmrK = 8
+  private val MmrLambda = 0.7
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_multimodal_decode" -> llmMultimodalDecode,
     "llm_frame_sample" -> llmFrameSample,
@@ -723,6 +779,7 @@ object LlmVector {
     "llm_ann_ivfpq" -> llmAnnIvfPq,
     "llm_embed_quantize" -> llmEmbedQuantize,
     "llm_multimodal_features" -> llmMultimodalFeatures,
+    "llm_mmr_rerank" -> llmMmrRerank,
   )
 
   private val cosSql =

@@ -247,7 +247,33 @@ object Quality {
         round(col("share") - col("benford"), 6).as("dev"))
       .orderBy("digit")
 
+  /** Tukey-fence (IQR) outlier profile per event type — the robust
+    * complement of evt_anomaly's z-scores (fences don't move when the
+    * outliers themselves inflate σ): per type, exact q1/q3, the 1.5·IQR
+    * fences, and the count/share of values outside them. Two passes over
+    * the per-type grain: one exact-percentile aggregate (5 rows,
+    * broadcast back), one conditional count — fences are interpolated
+    * doubles compared against raw values with identical a+(b−a)·g
+    * arithmetic on both engines. */
+  def dqIqrOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select("event_type", "value")
+    val q = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.75)").as("q3"))
+      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+    ev.join(broadcast(q), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(first("q1"), 4).as("q1"), round(first("q3"), 4).as("q3"),
+        sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_share", round(col("n_outliers") / col("n"), 6))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_iqr_outliers" -> dqIqrOutliers,
     "dq_benford" -> dqBenford,
     "dq_drift_psi" -> dqDriftPsi,
     "dq_constraints" -> dqConstraints,
@@ -257,6 +283,25 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
+    "dq_iqr_outliers" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.25) AS q1,
+        |    quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY event_type),
+        |f AS (
+        |  SELECT event_type, q1, q3,
+        |    q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+        |  FROM q)
+        |SELECT e.event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(max(f.q1), 4) AS q1, round(max(f.q3), 4) AS q3,
+        |  CAST(sum(CASE WHEN e.value < f.lo OR e.value > f.hi
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(CAST(sum(CASE WHEN e.value < f.lo OR e.value > f.hi
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS outlier_share
+        |FROM events e JOIN f USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "dq_benford" ->
       """WITH cents AS (
         |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c

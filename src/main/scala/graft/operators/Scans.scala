@@ -92,6 +92,32 @@ object Scans {
     fromCsv.join(fromJson, "l_returnflag").orderBy("l_returnflag")
   }
 
+  /** XML round trip through Spark 4's NATIVE xml source (SPARK-44265
+    * folded spark-xml into core — no external jar): the same lineitem
+    * sample written as row-tagged XML and read back with an explicit
+    * schema + rowTag, aggregated per flag. XML is the interchange format
+    * regulatory/B2B feeds still arrive in; the point of the row is that
+    * the engine ingests it with the same schema-first discipline as
+    * csv/json/orc (checksum = the same per-flag counts and quantity sum
+    * the parquet truth yields). Values are integers and 2-decimal
+    * doubles, so the text round trip is exact. */
+  def sourceXmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = s"${tmpRoot(spark)}/xmlrt"
+    val sample = Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") < 1000)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    sample.write.mode("overwrite")
+      .option("rootTag", "lines").option("rowTag", "line")
+      .format("xml").save(s"$tmp/xml")
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType), StructField("l_returnflag", StringType)))
+    spark.read.schema(schema).option("rowTag", "line").format("xml").load(s"$tmp/xml")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("xml_rows"), round(sum("l_quantity"), 2).as("xml_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** PERMISSIVE corrupt-record ingestion — the malformed-JSONL path every
     * web-scale text pipeline hits. A JSONL export of the lineitem sample is
     * corrupted by a DATA rule (every l_orderkey divisible by 10 gets a
@@ -281,6 +307,7 @@ object Scans {
     "scan_pruned" -> scanPruned,
     "scan_events_nanos" -> scanEventsNanos,
     "source_csv_roundtrip" -> sourceCsvRoundtrip,
+    "source_xml_roundtrip" -> sourceXmlRoundtrip,
     "source_json_corrupt" -> sourceJsonCorrupt,
     "source_orc_roundtrip" -> sourceOrcRoundtrip,
     "source_partitioned_prune" -> sourcePartitionedPrune,
@@ -333,6 +360,11 @@ object Scans {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "source_orc_roundtrip" ->
       """SELECT l_returnflag, count(*) AS orc_rows
+        |FROM lineitem WHERE l_orderkey < 1000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "source_xml_roundtrip" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS xml_rows,
+        |  round(sum(l_quantity), 2) AS xml_qty
         |FROM lineitem WHERE l_orderkey < 1000
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "source_partitioned_prune" ->

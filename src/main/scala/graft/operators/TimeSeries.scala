@@ -446,7 +446,34 @@ object TimeSeries {
       .orderBy("lag_d")
   }
 
+  /** Theil–Sen robust trend of daily revenue — the outlier-immune slope a
+    * forecaster trusts over OLS when fat-tailed days (promo spikes,
+    * outages) poison least squares: slope = MEDIAN of all pairwise
+    * slopes, intercept = median residual at that slope. The pair
+    * enumeration is days² BY DEFINITION — but days is CALENDAR-bounded,
+    * so the ~3M pairs at 2.4k days are a CONSTANT regardless of corpus
+    * size: the only thing that grows with data is the daily pre-agg
+    * scan. Exact interpolated medians; slope at 6, intercept at 4. */
+  def tsTheilSen(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("y"))
+      .select(datediff(col("day"), to_date(lit("1995-01-01"))).cast("double").as("x"),
+        col("y"))
+    val a = daily.select(col("x").as("xa"), col("y").as("ya"))
+    val b = daily.select(col("x").as("xb"), col("y").as("yb"))
+    val slope = a.crossJoin(b).filter(col("xa") < col("xb"))
+      .select(((col("yb") - col("ya")) / (col("xb") - col("xa"))).as("s"))
+      .agg(expr("percentile(s, 0.5)").as("slope"))
+    Fanout.broadcastAll(daily, slope, col("x"), col("slope"))
+      .select(col("x"), col("y"), col("slope"))
+      .agg(count(lit(1)).as("n_days"),
+        round(first("slope"), 6).as("slope"),
+        round(expr("percentile(y - slope * x, 0.5)"), 4).as("intercept"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_theil_sen" -> tsTheilSen,
     "ts_autocorr" -> tsAutocorr,
     "ts_cusum" -> tsCusum,
     "ts_seasonal_decompose" -> tsSeasonalDecompose,
@@ -466,6 +493,19 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "ts_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', DATE '1995-01-01',
+        |      CAST(o_orderdate AS DATE)) AS DOUBLE) AS x,
+        |    round(sum(o_totalprice), 2) AS y
+        |  FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+        |sl AS (
+        |  SELECT quantile_cont((b.y - a.y) / (b.x - a.x), 0.5) AS slope
+        |  FROM daily a JOIN daily b ON a.x < b.x)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |  round(max(slope), 6) AS slope,
+        |  round(quantile_cont(y - slope * x, 0.5), 4) AS intercept
+        |FROM daily CROSS JOIN sl""".stripMargin,
     "ts_autocorr" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,

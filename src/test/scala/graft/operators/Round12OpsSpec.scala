@@ -79,4 +79,52 @@ class Round12OpsSpec extends SparkSpec {
     assert(comps >= 2, s"support->=2 graph collapsed to $comps component(s)")
     assert(lab.count() > comps, "components must be non-trivial (some size > 1)")
   }
+
+  test("MMR rerank: greedy per-step optimality and a real diversity win") {
+    import graft.functions.VectorExprs
+    VectorExprs.register(spark)
+    val out = LlmVector.llmMmrRerank(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length == 8 && out.map(_._1).toSeq == (1L to 8L))
+    // independent re-derivation of probe + candidates (same definition)
+    val e = graft.Tables.embeddings(spark, sf001)
+      .filter(col("embedding").isNotNull)
+      .selectExpr("vec_id", "embedding", "sqrt(graft_dot(embedding, embedding)) AS nrm")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val probe = e.head
+    def cos(a: (Long, Array[Double], Double), b: (Long, Array[Double], Double)) =
+      a._2.zip(b._2).map { case (x, y) => x * y }.sum / (a._3 * b._3)
+    val byId = e.map(t => t._1 -> t).toMap
+    val cands = e.tail.map(t => (t._1, cos(t, probe)))
+      .sortBy { case (id, rel) => (-rel, id) }.take(32)
+    // step-1 greedy: rank 1 is the max-relevance candidate
+    assert(out.head._2 == cands.head._1, "rank 1 must be the most relevant candidate")
+    // every later pick maximizes the MMR objective among the remaining
+    val lambda = 0.7
+    var sel = List(out.head._2)
+    out.tail.foreach { case (_, id, _, _) =>
+      val remaining = cands.filterNot(c => sel.contains(c._1))
+      val scores = remaining.map { case (cid, rel) =>
+        val maxSim = sel.map(s => cos(byId(cid), byId(s))).max
+        (cid, lambda * rel - (1 - lambda) * maxSim)
+      }
+      val bestScore = scores.map(_._2).max
+      val pickedScore = scores.find(_._1 == id).get._2
+      assert(pickedScore >= bestScore - 1e-12,
+        s"pick $id scored $pickedScore < greedy best $bestScore")
+      sel :+= id
+    }
+    // diversity win: the MMR set's mean pairwise cosine is below the
+    // plain top-8's (the whole point of the reranker on clustered data)
+    def meanPairCos(ids: Seq[Long]) = {
+      val ps = for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield cos(byId(ids(i)), byId(ids(j)))
+      ps.sum / ps.size
+    }
+    val mmrIds = out.map(_._2).toSeq
+    val plainIds = cands.take(8).map(_._1).toSeq
+    assert(meanPairCos(mmrIds) < meanPairCos(plainIds),
+      "MMR set must be more diverse than the plain top-8")
+  }
 }
