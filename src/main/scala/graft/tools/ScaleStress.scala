@@ -171,7 +171,13 @@ object ScaleStress {
     "ts_cusum", "evt_streaks", "dq_benford", "sql_qualify",
     // round 12 batch 7: RFM (user-grain agg + broadcast quantile cuts —
     // no global window) and the ACF fan (one calendar-sized window pass)
-    "evt_rfm", "ts_autocorr")
+    "evt_rfm", "ts_autocorr",
+    // round 12 batch 8: Theil–Sen (calendar²-bounded pair median — the
+    // scan is the only thing that grows), IQR fences (percentile agg +
+    // conditional count), MMR rerank (exact-cosine TakeOrdered gather +
+    // bounded driver greedy). source_xml_roundtrip is NOT swept for
+    // source_csv_roundtrip's reason (fixture sample doesn't grow).
+    "ts_theil_sen", "dq_iqr_outliers", "llm_mmr_rerank")
 
   /** Per-query sweep ceilings for operators whose work is super-linear BY
     * DECLARATION, so running them at every scale proves nothing new and
