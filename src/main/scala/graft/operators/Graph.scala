@@ -233,13 +233,11 @@ object Graph {
     * Graph state is the pagerank adjacency form (self-loop appended so a
     * node's own label competes in the same min and the node set is
     * preserved); per round one node-sized label exchange + one explode
-    * that pipelines into the min partial-agg, then a node-sized
-    * pointer-jump (lbl ← lbl(lbl)) that collapses O(diameter) rounds to
-    * O(log diameter); lineage truncated by an eager per-round
-    * localCheckpoint. Convergence check costs one tiny aggregate, no
-    * join: labels only ever DECREASE, so the label sum is strictly
-    * monotone and fixpoint ⟺ sum unchanged. Returns the checkpointed
-    * (node, lbl) relation, edge cache released. */
+    * that pipelines into the min partial-agg; lineage truncated by an
+    * eager per-round localCheckpoint. Convergence check costs one tiny
+    * aggregate, no join: labels only ever DECREASE, so the label sum is
+    * strictly monotone and fixpoint ⟺ sum unchanged. Returns the
+    * checkpointed (node, lbl) relation, edge cache released. */
   private[operators] def ccLabels(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = ccPairs(spark, sfDir)
     val adjF = pairs
@@ -254,23 +252,16 @@ object Graph {
     var converged = prevSum == null // empty graph is trivially converged
     var iter = 0
     while (!converged && iter < CcMaxRounds) {
-      // propagate one hop...
-      val prop = adjF.join(lab.select(col("node").as("a"), col("lbl")), "a")
+      // Plain one-hop propagation, no pointer jumping: an A/B against the
+      // lbl ← lbl(lbl) shortcut (halves rounds, ~20 → 7 at sf0.1) showed
+      // the extra node-sized join + checkpoint per round COSTS more than
+      // the round savings at every measured scale (x1 7.0 s vs 4.9 s
+      // plain; x100 identical inside the band — the ×100 graph is dense,
+      // so its diameter is small and plain propagation already converges
+      // in ~7 rounds there).
+      val next = adjF.join(lab.select(col("node").as("a"), col("lbl")), "a")
         .select(explode(col("nbrs")).as("node"), col("lbl"))
         .groupBy("node").agg(min("lbl").as("lbl"))
-      // ...then POINTER-JUMP (lbl ← lbl(lbl)): every label is itself a
-      // node (min over reachable ids, self included), and prop covers the
-      // full node set (self-loops), so the inner self-join is total and
-      // lbl(lbl) ≤ lbl. Halving-style shortcutting turns O(diameter)
-      // rounds into O(log diameter) — the sparse sf0.1 graph needed ~20
-      // propagation-only rounds (~5 s); with the node-sized extra join
-      // it converges in 7 (the stderr line reports it). Convergence stays
-      // sound: sum-unchanged ⟹ the propagation step moved nothing ⟹
-      // the propagation fixpoint (= true components) was reached.
-      val next = prop
-        .join(prop.select(col("node").as("l2n"), col("lbl").as("lbl2")),
-          col("lbl") === col("l2n"))
-        .select(col("node"), col("lbl2").as("lbl"))
         .localCheckpoint()
       val s = next.agg(sum("lbl")).head().get(0)
       lab = next
