@@ -216,8 +216,11 @@ class PlanSpec extends SparkSpec {
     // (type_a < type_b) self-join over the ≤|event_type| MERGED sketch
     // rows (5 here), deliberately planned as a broadcast nested loop on a
     // planning-sized relation so the whole query stays one lazy plan.
+    // ts_theil_sen's pairwise-slope enumeration is the OPERATOR'S
+    // DEFINITION (median of all pairwise slopes) over the ≤365-row
+    // windowed daily table — a bounded broadcast nested loop by design.
     // The similarity-search queries are covered (un-whitelisted) above.
-    val whitelist = Set("join_cross", "agg_theta_intersect")
+    val whitelist = Set("join_cross", "agg_theta_intersect", "ts_theil_sen")
     val offenders = graft.SparkEntry.queries.toSeq
       .filterNot { case (name, _) => whitelist(name) }
       .flatMap { case (name, fn) =>
