@@ -418,8 +418,10 @@ object EventTime {
         |SELECT w.wday AS day, coalesce(d.dau, 0) AS dau, w.wau
         |FROM wau w LEFT JOIN dau d ON w.wday = d.day
         |ORDER BY day""".stripMargin,
+    // SeqCap interpolates from the Scala constant so the two engines'
+    // caps can never desynchronize (round-12 advisory).
     "evt_pattern_match" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS e_us, event_id,
         |    CASE event_type WHEN 'view' THEN 'V' WHEN 'click' THEN 'C'
         |         WHEN 'purchase' THEN 'P' ELSE 'O' END AS chr
@@ -432,7 +434,7 @@ object EventTime {
         |s AS (
         |  SELECT user_id, count(*) AS n_events,
         |    array_to_string(
-        |      list(chr ORDER BY e_us, event_id) FILTER (WHERE rn <= 32768), '')
+        |      list(chr ORDER BY e_us, event_id) FILTER (WHERE rn <= $SeqCap), '')
         |      AS seq
         |  FROM r GROUP BY user_id)
         |SELECT user_id, n_events,

@@ -19,10 +19,11 @@ import graft.Tables
   * so edges are ~linear in lineitem rows. Each PageRank iteration is two
   * shuffles (contribution join on the source key, in-sum on the target
   * key) over the edge relation, the textbook distributed-PR shape; ranks
-  * are node-sized. Five fixed iterations; per-iteration
-  * `localCheckpoint` on the node-sized ranks relation truncates the
-  * lineage so the final plan doesn't nest 15 joins (the CC family's
-  * round-trick, LlmText.scala).
+  * are node-sized. Five fixed iterations built as one linear 5-join plan
+  * over the cached adjacency, with a SINGLE localCheckpoint at the end
+  * (deliberately NO per-iteration checkpoint — each materialization cost
+  * more than the lineage it saved at 5 iterations; see the inline note
+  * at the iteration loop).
   */
 object Graph {
 

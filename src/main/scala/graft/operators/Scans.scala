@@ -102,7 +102,10 @@ object Scans {
     * the parquet truth yields). Values are integers and 2-decimal
     * doubles, so the text round trip is exact. */
   def sourceXmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val tmp = s"${tmpRoot(spark)}/xmlrt"
+    // sfDir-keyed like json_corrupt/dpp/binfiles: the returned plan reads
+    // the path LAZILY, so an unkeyed shared dir would let a later sfDir's
+    // write rebind an earlier plan to the wrong data (round-12 advisory).
+    val tmp = s"${tmpRoot(spark)}/xmlrt_${dirKey(sfDir)}"
     val sample = Tables.lineitem(spark, sfDir)
       .filter(col("l_orderkey") < 1000)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
@@ -267,10 +270,16 @@ object Scans {
   def sourceBinaryFiles(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = s"${tmpRoot(spark)}/binfiles_${dirKey(sfDir)}"
     new java.io.File(dir).mkdirs()
+    // Broadcast the SESSION's hadoop conf: executor-side `new
+    // Configuration()` would drop spark.hadoop.* settings (fs.defaultFS,
+    // s3a credentials) and break the shared-store claim on a conf-
+    // configured cluster (round-12 advisory).
+    val hconf = spark.sparkContext.broadcast(
+      new graft.SerHadoopConf(spark.sparkContext.hadoopConfiguration))
     MultimodalOps.pack(MultimodalOps.fromDocuments(spark, sfDir))
       .foreachPartition { (it: Iterator[MediaRecord]) =>
         val base = new org.apache.hadoop.fs.Path(dir)
-        val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = base.getFileSystem(hconf.value.value)
         fs.setWriteChecksum(false) // no .crc sidecar per object
         // Path resolution goes through the configured FS either way (the
         // round-11 advisory: executors must hit the shared store, not

@@ -398,8 +398,12 @@ object TimeSeries {
     * per type, rounded before use so both engines iterate identical
     * constants). The textbook recurrence S⁺_t = max(0, S⁺_{t-1} + x_t −
     * μ − k) looks loop-only, but has a closed windowed form: with
-    * P_t = Σ(x_i − μ − k), S⁺_t = P_t − min_{i≤t} P_i — a running sum
-    * minus a running min, two O(1)-state frames, no recursion. Heavy
+    * P_t = Σ(x_i − μ − k) and P_0 = 0, S⁺_t = P_t − min_{0≤i≤t} P_i — a
+    * running sum minus a running min FLOORED AT the implicit P_0 = 0
+    * baseline (least(0, min over observed rows); without the floor, a
+    * series drifting up from its first observation under-reports S⁺ by
+    * its first prefix value — round-12 advisory) — two O(1)-state
+    * frames, no recursion. Heavy
     * lifting is the daily partial-agg shuffle; both windows run on the
     * calendar-sized daily table (the win_ewma shape). */
   def tsCusum(spark: SparkSession, sfDir: String): DataFrame = {
@@ -413,8 +417,8 @@ object TimeSeries {
     daily.join(broadcast(stats), Seq("event_type"))
       .withColumn("p_up", sum(col("v") - col("mu") - lit(0.5) * col("sigma")).over(w))
       .withColumn("p_dn", sum(col("mu") - lit(0.5) * col("sigma") - col("v")).over(w))
-      .withColumn("s_up", round(col("p_up") - min("p_up").over(w), 4))
-      .withColumn("s_dn", round(col("p_dn") - min("p_dn").over(w), 4))
+      .withColumn("s_up", round(col("p_up") - least(lit(0.0), min("p_up").over(w)), 4))
+      .withColumn("s_dn", round(col("p_dn") - least(lit(0.0), min("p_dn").over(w)), 4))
       .select(col("event_type"), col("day"), col("v"), col("s_up"), col("s_dn"),
         (col("s_up") > lit(4) * col("sigma") ||
           col("s_dn") > lit(4) * col("sigma")).as("alarm"))
@@ -559,8 +563,8 @@ object TimeSeries {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |s AS (
         |  SELECT event_type, day, v, sigma,
-        |    round(p_up - min(p_up) OVER w2, 4) AS s_up,
-        |    round(p_dn - min(p_dn) OVER w2, 4) AS s_dn
+        |    round(p_up - least(0.0, min(p_up) OVER w2), 4) AS s_up,
+        |    round(p_dn - least(0.0, min(p_dn) OVER w2), 4) AS s_dn
         |  FROM p
         |  WINDOW w2 AS (PARTITION BY event_type ORDER BY day
         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))

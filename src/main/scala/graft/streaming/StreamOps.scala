@@ -256,8 +256,12 @@ object StreamOps {
       val (mu, sigma) = baseline(key)
       val k = 0.5 * sigma
       val h = 4 * sigma
+      // minima init at 0.0, not MaxValue: the closed form's min runs over
+      // prefix sums INCLUDING the implicit P_0 = 0 baseline (round-12
+      // advisory — MaxValue dropped the baseline, so all-positive drift
+      // under-reported S⁺ by the first prefix value).
       var s = if (st.exists()) st.get()
-        else CusumState(0.0, Double.MaxValue, 0.0, Double.MaxValue)
+        else CusumState(0.0, 0.0, 0.0, 0.0)
       val out = rows.toSeq.sortBy(_._2).map { case (_, day, v) =>
         val pUp = s.pUp + (v - mu - k)
         val pDn = s.pDn + (mu - k - v)

@@ -22,10 +22,12 @@ object ProfileBinFiles {
       t("pack")(packed.count())
       val dir = s"${graft.operators.Scans.tmpRoot(spark)}/binprof"
       new java.io.File(dir).mkdirs()
+      val hconf = spark.sparkContext.broadcast(
+        new graft.SerHadoopConf(spark.sparkContext.hadoopConfiguration))
       t("write")(packed.foreachPartition {
         (it: Iterator[graft.operators.MediaRecord]) =>
           val base = new org.apache.hadoop.fs.Path(dir)
-          val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val fs = base.getFileSystem(hconf.value.value)
           fs.setWriteChecksum(false)
           if (fs.getScheme == "file")
             it.foreach { r =>

@@ -25,6 +25,21 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 BITEXACT = False
 
+# Output dtypes with DRIVER-GREEN precedent: the exact set of DuckDB types
+# appearing across the 203 queries that passed the driver's gate in round
+# 12 (computed from CORRECTNESS_r12.json x /tmp/vout parquet schemas).
+# Anything else is driver-UNPROVEN: round 12's q1_decimal emitted
+# DECIMAL(38,_) columns, passed this local replay with value-identical
+# rows, and still hash-failed at the driver (decimal stringification /
+# version drift in its pandas comparator) — the local gate must never
+# again certify a dtype the driver has no precedent on.
+PROVEN_DTYPES = {"BIGINT", "BOOLEAN", "DATE", "DOUBLE", "INTEGER",
+                 "TIMESTAMP", "VARCHAR"}
+
+
+def unproven_cols(cols, types):
+    return [(c, t) for c, t in zip(cols, types) if t not in PROVEN_DTYPES]
+
 
 def norm_cell(v):
     """Normalize a cell for comparison across duckdb/parquet dtypes."""
@@ -106,6 +121,16 @@ def main():
             print(f"FAIL {name}: array/struct/map output column(s) {nested} — "
                   "the driver's pandas comparator crashes on these; stringify "
                   "(array_join / array_to_string) on both sides")
+            n_fail += 1
+            continue
+        unproven = sorted(set(unproven_cols(ocols, otypes))
+                          | set(unproven_cols(ecols, etypes)))
+        if unproven:
+            print(f"FAIL {name}: driver-UNPROVEN output dtype(s) {unproven} — "
+                  "only " + "/".join(sorted(PROVEN_DTYPES)) + " have driver-"
+                  "green precedent; a value-identical local pass does not "
+                  "certify these (q1_decimal r12: local pass, driver hash "
+                  "fail on DECIMAL). Cast to a proven dtype on both sides")
             n_fail += 1
             continue
         if ocols != ecols:
