@@ -34,6 +34,31 @@ object Graph {
   // hash-builds comfortably; shuffle-hash above it
   private val BcastEdgeMax = 8000000L
 
+  /** Edge-build shuffle width, sized by source bytes (the sink family's
+    * bytes/target rule). Round-13 ProfileJobs attribution of the sweep
+    * knee: at ×100 the 32-task build stages spilled 43 GB (pagerank's
+    * adjacency collect_list) and 69+22 GB (cc's support-count pair
+    * aggregation) while EVERY propagation round ran sub-second, and at
+    * ×30 the same stages spilled NOTHING — the 30×→100× knee is
+    * build-spill onset, not iteration cost. The pair fan-out plus
+    * aggregation-buffer row overhead inflate each source parquet byte
+    * ~60× in those stages, so ~4 MB of lineitem parquet per task keeps
+    * the buffers resident (×100: ~256 tasks). The wide width engages
+    * with HYSTERESIS (only at ≥4× the session width ⇔ ≥512 MB source):
+    * an unconditional wide build was sweep-measured SLOWER wherever the
+    * narrow build wasn't spilling (+48% at ×30, +57% at ×1 — extra
+    * exchange + degraded map-side combine with nothing to buy back), so
+    * below spill onset the builders keep their round-12 plans
+    * byte-identical (sf0.01/sf0.1/×10/×30 → session width). */
+  private def buildParts(spark: SparkSession, sfDir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$sfDir/lineitem.parquet")
+    val bytes = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+    val conf = spark.sessionState.conf.numShufflePartitions
+    val wide = (bytes / (4L << 20)).toInt
+    if (wide >= 4 * conf) wide else conf
+  }
+
   /** PageRank over the part co-purchase graph. Node set = edge endpoints
     * (parts with at least one co-purchase); the graph is SYMMETRIC by
     * construction, so every node has an inbound edge and the iteration
@@ -57,19 +82,29 @@ object Graph {
     // this form caches one packed array per node (~1/3 the bytes) — see
     // SCALE.md for its band. Build shape: after repartition(a),
     // HashPartitioning(a) satisfies the (a,b) dedup clustering AND the
-    // groupBy(a) collect — one edge-sized exchange total, and the
-    // adjacency cache comes out hash-partitioned on `a`, so each
-    // iteration exchanges only the node-sized ranks side. The cache is
-    // the COMPRESSED COLUMNAR DataFrame cache, not localCheckpoint:
-    // deserialized row checkpoints OOM'd the 24g sweep JVM at ×100,
-    // while columnar batches spill whole batches under pressure.
-    val adj = li.toDF("ok", "a").join(li.toDF("ok", "b"), "ok")
+    // groupBy(a) collect — one edge-sized exchange total. The build runs
+    // WIDE (buildParts — the ×100 ProfileJobs run measured 43 GB of
+    // aggregation-buffer spill in this stage at the 32-task width, 0 at
+    // 254) but the finished NODE-sized adjacency is repartitioned back
+    // to the session width before caching: iterating at build width was
+    // measured SLOWER than the spill it avoided (each of the 5 rounds
+    // split into a wide explode stage + a narrow final-agg stage, and
+    // map-side combine degraded 843 MB → 2.1 GB per-round shuffle;
+    // +36 s at ×100). The cache is the COMPRESSED COLUMNAR DataFrame
+    // cache, not localCheckpoint: deserialized row checkpoints OOM'd the
+    // 24g sweep JVM at ×100, while columnar batches spill whole batches
+    // under pressure.
+    val wide = buildParts(spark, sfDir)
+    val narrow = spark.sessionState.conf.numShufflePartitions
+    val edges = li.toDF("ok", "a").join(li.toDF("ok", "b"), "ok")
       .filter(col("a") =!= col("b"))
       .select("a", "b")
-      .repartition(col("a"))
+    val built = (if (wide > narrow) edges.repartition(wide, col("a"))
+                 else edges.repartition(col("a")))
       .dropDuplicates("a", "b")
       .groupBy("a")
       .agg(collect_list("b").as("nbrs"), count(lit(1)).as("outdeg"))
+    val adj = (if (wide > narrow) built.repartition(col("a")) else built)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     adj.count() // materialize the cache before the iteration chain
     val n = adj.agg(count(lit(1)).as("n_total"))
@@ -220,12 +255,26 @@ object Graph {
   /** The support-≥2 symmetric pair list — factored out so the spec can
     * assert the defining CC property (every edge's endpoints share a
     * label) against exactly the operator's edges. */
-  private[operators] def ccPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def ccPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val wide = buildParts(spark, sfDir)
+    val narrow = spark.sessionState.conf.numShufflePartitions
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-    li.toDF("ok", "a").join(li.toDF("ok", "b"), "ok")
+    // countDistinct(ok) is unrolled into dedup(a,b,ok) → count so every
+    // exchange is width-controlled: the one-distinct aggregate plan ran
+    // its pair partial-agg INSIDE the 32-task join stage (69 GB spill at
+    // ×100, the knee — see buildParts) and added two conf-width
+    // exchanges; here the join stage only writes the pair stream, and
+    // HashPartitioning(a,b) satisfies both the (a,b,ok) dedup and the
+    // (a,b) count downstream — one width-controlled exchange, zero
+    // spill at ×100. (The unroll also won at ×1: 4.5 → 2.8 s.)
+    val liW = if (wide > narrow) li.repartition(wide, col("ok")) else li
+    val paired = liW.toDF("ok", "a").join(liW.toDF("ok", "b"), "ok")
       .filter(col("a") =!= col("b"))
-      .groupBy("a", "b").agg(countDistinct("ok").as("support"))
+    (if (wide > narrow) paired.repartition(wide, col("a"), col("b"))
+     else paired.repartition(col("a"), col("b")))
+      .dropDuplicates("a", "b", "ok")
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
       .select("a", "b")
   }
@@ -239,13 +288,26 @@ object Graph {
     * aggregate, no join: labels only ever DECREASE, so the label sum is
     * strictly monotone and fixpoint ⟺ sum unchanged. Returns the
     * checkpointed (node, lbl) relation, edge cache released. */
-  private[operators] def ccLabels(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def ccLabels(spark: SparkSession, sfDir: String): DataFrame = {
+    // The self-loop is APPENDED to each node's neighbor array instead of
+    // unioned in as extra edge rows: the union form consumed `pairs`
+    // twice (edge rows + a distinct node projection), and with the wide
+    // build repartition the two subtrees stopped sharing their exchange —
+    // the ×100 ProfileJobs run showed the whole join→dedup chain
+    // materializing TWICE in parallel (2×14 s). One consumer, one chain.
+    // Build runs WIDE past spill onset (buildParts — the 32-task
+    // collect_list spilled 22 GB at ×100, 0 at 254), then the node-sized
+    // adjacency comes back to session width for the propagation rounds
+    // (sub-second per round at 32; the wide form paid an extra stage per
+    // round).
+    val wide = buildParts(spark, sfDir)
+    val narrow = spark.sessionState.conf.numShufflePartitions
     val pairs = ccPairs(spark, sfDir)
-    val adjF = pairs
-      .unionByName(pairs.select(col("a")).distinct()
-        .select(col("a"), col("a").as("b")))
-      .repartition(col("a"))
-      .groupBy("a").agg(collect_list("b").as("nbrs"))
+    val built = (if (wide > narrow) pairs.repartition(wide, col("a"))
+                 else pairs.repartition(col("a")))
+      .groupBy("a").agg(collect_list("b").as("nbrs0"))
+      .select(col("a"), concat(col("nbrs0"), array(col("a"))).as("nbrs"))
+    val adjF = (if (wide > narrow) built.repartition(col("a")) else built)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     adjF.count() // materialize before the dependents (cold-cache race)
     var lab = adjF.select(col("a").as("node"), col("a").as("lbl")).localCheckpoint()

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** A minimal event record for streaming pipelines. `ts` is the event-time
   * column every watermark hangs off. */
@@ -280,6 +280,79 @@ object StreamOps {
     import rows.sparkSession.implicits._
     rows.groupByKey(_._1)
       .transformWithState(new CusumProcessor(baseline), TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Incremental connected-components maintenance over an EDGE STREAM —
+    * the streaming half of the batch↔stream twin for `Graph.graphCc`
+    * (the last batch-only family; CUSUM/actives/quantiles already have
+    * twins). Full label propagation cannot run inside a per-key
+    * processor (labels cross keys), so the streaming stage does what a
+    * production incremental-CC pipeline does: SPANNING-FOREST REDUCTION.
+    * Edges are bucketed by a deterministic key; each bucket's processor
+    * maintains a union-find over the nodes it has seen (MapState parent
+    * pointers — absent key = self-root) and emits an edge iff it MERGES
+    * two components of that bucket (Append mode: forest edges are never
+    * retracted). The union of per-bucket forests preserves GLOBAL
+    * connectivity — every rejected edge's endpoints were already
+    * connected by earlier forest edges of its own bucket (induction over
+    * arrival order) — so the periodic batch min-label consolidation over
+    * the forest reproduces `graph_cc`'s labels EXACTLY (same node set
+    * too: a node's first edge always merges, so every edge-incident node
+    * appears in the forest).
+    *
+    * Scale: state per bucket is NODE-sized (one parent pointer per seen
+    * node), never edge-sized; each bucket emits at most (its nodes − 1)
+    * forest edges over the stream's LIFETIME, so the downstream batch CC
+    * consumes ≤ buckets·(n−1) edges no matter how many billions of
+    * edges streamed — the edge-stream → bounded-state → periodic-batch
+    * shape that makes streaming graph maintenance feasible at 100 TB.
+    * Batch reads/writes go through a per-batch local cache with path
+    * compression; only changed pointers hit the state store. */
+  class CcForestProcessor extends StatefulProcessor[Int, (Int, Long, Long), (Long, Long)] {
+    @transient private var parent: MapState[Long, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      parent = getHandle.getMapState[Long, Long]("uf",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Int, rows: Iterator[(Int, Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long)] = {
+      val local = scala.collection.mutable.Map.empty[Long, Long]
+      val dirty = scala.collection.mutable.Set.empty[Long]
+      def p(x: Long): Long = local.getOrElseUpdate(x,
+        if (parent.containsKey(x)) parent.getValue(x) else x)
+      def find(x: Long): Long = {
+        var r = x
+        while (p(r) != r) r = p(r)
+        var c = x // path-compress the walked chain onto the root
+        while (p(c) != r) { val nxt = p(c); local(c) = r; dirty += c; c = nxt }
+        r
+      }
+      val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+      rows.foreach { case (_, a, b) =>
+        val ra = find(a)
+        val rb = find(b)
+        if (ra != rb) {
+          // union by MIN root: roots only ever decrease, matching the
+          // batch min-label convention (deterministic, restart-stable)
+          val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra)
+          local(hi) = lo
+          dirty += hi
+          out += ((a, b))
+        }
+      }
+      dirty.foreach(k => parent.updateValue(k, local(k)))
+      out.iterator
+    }
+  }
+
+  /** Edge stream → per-bucket spanning-forest edges (see
+    * CcForestProcessor). Bucketing by min(a,b) is symmetric, so the
+    * reversed duplicate of an undirected edge lands in the same bucket
+    * and is rejected there instead of inflating another bucket's forest. */
+  def ccForestEdges(edges: Dataset[(Long, Long)], buckets: Int = 64): Dataset[(Long, Long)] = {
+    import edges.sparkSession.implicits._
+    edges.map(e => ((math.min(e._1, e._2) % buckets).toInt, e._1, e._2))
+      .groupByKey(_._1)
+      .transformWithState(new CcForestProcessor, TimeMode.None(), OutputMode.Append())
   }
 
   /** Arbitrary stateful processing: running per-user event count

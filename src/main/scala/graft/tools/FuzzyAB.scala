@@ -63,6 +63,33 @@ object FuzzyAB {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Round-13 probe for the proposed length-bucket prefilter
+    // (|len(a)−len(b)| ≤ 2 is necessary for ed ≤ 2): counts, over the
+    // shipped candidate stage, how many candidate pairs the filter would
+    // remove (`len_prunable`) and how many survive the exact confirm.
+    // Pigeonhole prediction: ~0 prunable — two strings sharing a
+    // deletion variant satisfy len(a)−d_a = len(b)−d_b with d ∈ [0,2],
+    // so |len(a)−len(b)| = |d_a−d_b| ≤ 2 ALREADY HOLDS for every
+    // non-hash-collision candidate; the filter can only remove 64-bit
+    // hash collisions across different lengths (~pairs/2^64 expected).
+    // One pass; also reports confirmed/candidates to attribute the ×100
+    // band to true-pair (output-shape) volume vs false candidates.
+    if (args.length > 1 && args(1) == "lenprobe") {
+      val t0 = System.nanoTime()
+      val r = graft.operators.Joins.fuzzyCandidates(Tables.customer(spark, sfDir))
+        .agg(
+          count(lit(1)).as("candidates"),
+          sum(when(abs(length(col("name1")) - length(col("name2"))) > 2, 1L)
+            .otherwise(0L)).as("len_prunable"),
+          sum(when(levenshtein(col("name1"), col("name2"), 2) =!= -1, 1L)
+            .otherwise(0L)).as("confirmed"))
+        .collect()(0)
+      println(f"FUZZYLEN candidates=${r.getLong(0)} len_prunable=${r.getLong(1)} " +
+        f"confirmed=${r.getLong(2)} sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      spark.stop()
+      return
+    }
+
     def run(tag: String, f: DataFrame => DataFrame): Unit = {
       val c = Tables.customer(spark, sfDir)
       val t0 = System.nanoTime()

@@ -38,7 +38,15 @@ object ProfileJobs {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val dur = for { s <- si.submissionTime; c <- si.completionTime } yield c - s
-        lines += f"    stage ${si.stageId}%3d ${dur.getOrElse(-1L)}%6d ms tasks=${si.numTasks}%4d ${si.name.takeWhile(_ != '\n').take(90)}"
+        // aggregated TaskMetrics: the spill/shuffle attribution the graph
+        // sweep knees need (round-13 item — cache spill vs explode skew)
+        val m = si.taskMetrics
+        val mb = 1024.0 * 1024.0
+        val io = if (m == null) "" else
+          f" in=${m.inputMetrics.bytesRead / mb}%.0fM sr=${m.shuffleReadMetrics.totalBytesRead / mb}%.0fM " +
+            f"sw=${m.shuffleWriteMetrics.bytesWritten / mb}%.0fM spillM=${m.memoryBytesSpilled / mb}%.0fM " +
+            f"spillD=${m.diskBytesSpilled / mb}%.0fM"
+        lines += f"    stage ${si.stageId}%3d ${dur.getOrElse(-1L)}%6d ms tasks=${si.numTasks}%4d$io ${si.name.takeWhile(_ != '\n').take(70)}"
       }
     })
     val t0 = System.nanoTime()

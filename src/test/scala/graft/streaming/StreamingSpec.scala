@@ -472,4 +472,65 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming CC forest reduction reproduces the batch graph_cc labels") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val sf = "/root/testdata/sf0.001"
+    // the batch operator's own edge relation (symmetric support-≥2
+    // co-purchase pairs) and its fixpoint labels — the twin's truth
+    val edges = graft.operators.Graph.ccPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.length > 100, "fixture graph should be non-trivial")
+    val batch = graft.operators.Graph.ccLabels(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val in = MemoryStream[(Long, Long)]
+    val q = StreamOps.ccForestEdges(in.toDS, buckets = 8)
+      .toDF("a", "b")
+      .writeStream.format("memory").queryName("t_ccforest").outputMode("append").start()
+    try {
+      // three micro-batches: union-find state must carry across batches
+      edges.grouped(math.max(edges.length / 3, 1)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq); q.processAllAvailable()
+      }
+      val forest = spark.sql("SELECT a, b FROM t_ccforest").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // the reduction claim: per-bucket forests are node-bounded, so the
+      // consolidation input is far smaller than the edge stream
+      assert(forest.length < edges.length / 2,
+        s"forest (${forest.length}) must reduce the edge stream (${edges.length})")
+      // periodic consolidation pass: min-label CC over the forest alone
+      // (local union-find with union-by-min-root — the root of every tree
+      // is the component's min node by induction) must equal the batch
+      // operator's fixpoint labels over ALL edges, node for node
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      forest.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra)
+          parent(hi) = lo
+        }
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val streamLabels = nodes.map(n => n -> find(n)).toMap
+      assert(streamLabels == batch,
+        "forest-consolidated labels must equal the batch graph_cc labels")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
