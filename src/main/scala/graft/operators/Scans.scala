@@ -76,7 +76,7 @@ object Scans {
     sfDir.replaceAll("[^A-Za-z0-9]", "_")
 
   def sourceCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val tmp = s"${tmpRoot(spark)}/roundtrip"
+    val tmp = s"${tmpRoot(spark)}/roundtrip_${dirKey(sfDir)}"
     val sample = Tables.lineitem(spark, sfDir)
       .filter(col("l_orderkey") < 1000)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
@@ -165,7 +165,7 @@ object Scans {
 
   /** ORC sink/source roundtrip (rows-only, like the csv/json one). */
   def sourceOrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val tmp = s"${tmpRoot(spark)}/roundtrip_orc"
+    val tmp = s"${tmpRoot(spark)}/roundtrip_orc_${dirKey(sfDir)}"
     val sample = Tables.lineitem(spark, sfDir)
       .filter(col("l_orderkey") < 1000)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
@@ -180,7 +180,7 @@ object Scans {
     * asserts PartitionFilters). Oracle-checkable because the counts must
     * equal the unpartitioned table's — the layout changes, the data doesn't. */
   def sourcePartitionedPrune(spark: SparkSession, sfDir: String): DataFrame = {
-    val tmp = s"${tmpRoot(spark)}/part_orders"
+    val tmp = s"${tmpRoot(spark)}/part_orders_${dirKey(sfDir)}"
     Tables.orders(spark, sfDir)
       .withColumn("o_year", year(col("o_orderdate")))
       .write.mode("overwrite").partitionBy("o_year").parquet(tmp)

@@ -42,8 +42,8 @@ object Sinks {
     */
   def sinkMergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
     merged(spark, sfDir).write.mode("overwrite")
-      .parquet(s"${Scans.tmpRoot(spark)}/merge_orders")
-    spark.read.parquet(s"${Scans.tmpRoot(spark)}/merge_orders")
+      .parquet(s"${Scans.tmpRoot(spark)}/merge_orders_${Scans.dirKey(sfDir)}")
+    spark.read.parquet(s"${Scans.tmpRoot(spark)}/merge_orders_${Scans.dirKey(sfDir)}")
       .orderBy("o_orderkey")
   }
 
@@ -154,7 +154,7 @@ object Sinks {
     * row-preservation half IS asserted against the source in the spec.
     */
   def sinkCompaction(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = s"${Scans.tmpRoot(spark)}/compact_lineitem"
+    val out = s"${Scans.tmpRoot(spark)}/compact_lineitem_${Scans.dirKey(sfDir)}"
     Tables.lineitem(spark, sfDir)
       .repartitionByRange(CompactionFiles, col("l_orderkey"))
       .sortWithinPartitions("l_orderkey", "l_linenumber")
@@ -220,7 +220,7 @@ object Sinks {
     * bounds (≤0.7 on BOTH dims). No DuckDB oracle: file layout isn't
     * observable from SQL; row preservation is asserted in the spec. */
   def sinkZorder(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = s"${Scans.tmpRoot(spark)}/zorder_lineitem"
+    val out = s"${Scans.tmpRoot(spark)}/zorder_lineitem_${Scans.dirKey(sfDir)}"
     val li = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
     val bounds = li.agg(
@@ -269,7 +269,7 @@ object Sinks {
     * full-outer shuffle join as sink_merge_upsert; versions are immutable
     * snapshots, so AS OF is a plain parquet scan of v2. */
   def sinkTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
-    val root = s"${Scans.tmpRoot(spark)}/ttravel_orders"
+    val root = s"${Scans.tmpRoot(spark)}/ttravel_orders_${Scans.dirKey(sfDir)}"
     Scans.deleteRecursively(new java.io.File(root))
     val (target, changes) = mergeInputs(spark, sfDir)
     graft.streaming.MergeSink.initTarget(target, root)
@@ -300,7 +300,7 @@ object Sinks {
     * files). */
   private[operators] def prunedScan(spark: SparkSession, sfDir: String,
       maxPlanFiles: Int = ManifestMaxPlanFiles): (Int, DataFrame) = {
-    val out = s"${Scans.tmpRoot(spark)}/manifest_orders"
+    val out = s"${Scans.tmpRoot(spark)}/manifest_orders_${Scans.dirKey(sfDir)}"
     Tables.orders(spark, sfDir)
       .repartitionByRange(ManifestFiles, col("o_orderkey"))
       .sortWithinPartitions("o_orderkey")

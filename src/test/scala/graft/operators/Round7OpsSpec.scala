@@ -15,7 +15,7 @@ class Round7OpsSpec extends SparkSpec {
     val orders = Tables.orders(spark, sf001)
     val v2 = Sinks.sinkTimeTravel(spark, sf001)
     // the protocol wrote v0..v3
-    val root = s"${Scans.tmpRoot(spark)}/ttravel_orders"
+    val root = s"${Scans.tmpRoot(spark)}/ttravel_orders_${Scans.dirKey(sf001)}"
     assert(MergeSink.versionCount(root) === 4, "init + 3 batches = 4 versions")
     // row accounting: updates replace in place, inserts (key%10==7, pmod
     // 3 of -(k+1) in {0,1}) add rows
