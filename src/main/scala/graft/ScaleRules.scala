@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The repo's one bytes-of-source → parallelism policy, factored out of its
+  * two previous copies (the sink family's `zorderFiles` file-count rule and
+  * `Graph.buildParts`'s wide-build shuffle width) so future tuning moves
+  * both call sites together (round-13 verdict item). Both rules key off the
+  * ACTUAL source path a job reads — callers pass the relation's parquet
+  * path explicitly instead of the utility assuming lineitem.
+  *
+  * Two distinct knobs live here because they answer different questions:
+  *
+  *  - `bytesScaledCount` sizes an OUTPUT layout (files or range partitions):
+  *    n = ceil(bytes / target), floored so tiny inputs still parallelize.
+  *    A fixed count is the measured failure mode — the round-6/round-11
+  *    sweeps each caught a pinned `= 8` funneling 100× rows through 8
+  *    write tasks (×9.3 / ×12.7 wall-clock outliers).
+  *
+  *  - `wideBuildWidth` sizes a SHUFFLE-HEAVY BUILD STAGE past spill onset,
+  *    with hysteresis. Round-13 ProfileJobs attribution: the graph builds'
+  *    pair fan-out plus aggregation-buffer row overhead inflate each source
+  *    parquet byte ~60×, so ~4 MB of source per task keeps the buffers
+  *    resident (43–69 GB of spill at the 32-task width at ×100, zero at
+  *    ~254). The wide width engages ONLY at ≥4× the session width: an
+  *    unconditional wide build was sweep-measured SLOWER wherever the
+  *    narrow build wasn't spilling (+48% at ×30, +57% at ×1 — extra
+  *    exchange + degraded map-side combine with nothing to buy back), so
+  *    below spill onset callers keep their session-width plans
+  *    byte-identical.
+  */
+object ScaleRules {
+
+  /** Total bytes under `path` (a parquet directory or single file). */
+  def sourceBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+  }
+
+  /** Output-layout count: ceil(bytes / targetBytes), floored at `minCount`. */
+  def bytesScaledCount(spark: SparkSession, path: String,
+      targetBytes: Long, minCount: Int): Int =
+    math.max(minCount,
+      math.ceil(sourceBytes(spark, path).toDouble / targetBytes).toInt)
+
+  /** Source bytes per task that keep a fan-out build stage's aggregation
+    * buffers resident (the round-13 ProfileJobs-measured ~60× inflation). */
+  val WideBuildTaskBytes: Long = 4L << 20
+
+  /** Hysteresis: the wide width engages only at ≥ this multiple of the
+    * session shuffle width — below spill onset, narrow plans stay put. */
+  val WideBuildHysteresis: Int = 4
+
+  /** Shuffle width for a spill-prone build stage over the source at `path`:
+    * the session width until the bytes-scaled width clears the hysteresis
+    * gate, then bytes / WideBuildTaskBytes. */
+  def wideBuildWidth(spark: SparkSession, path: String): Int = {
+    val conf = spark.sessionState.conf.numShufflePartitions
+    val wide = (sourceBytes(spark, path) / WideBuildTaskBytes).toInt
+    if (wide >= WideBuildHysteresis * conf) wide else conf
+  }
+}

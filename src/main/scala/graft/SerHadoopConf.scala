@@ -9,6 +9,16 @@ package graft
   * conf (round-12 advisory). Same Writable-round-trip shape as Spark's
   * own `org.apache.spark.util.SerializableConfiguration`, which is
   * `private[spark]` and therefore re-declared here.
+  *
+  * ASSUMES the JavaSerializer (Spark's default for closures/broadcasts):
+  * the writeObject/readObject hooks below are Java-serialization
+  * callbacks, and a session running `spark.serializer=KryoSerializer`
+  * would bypass them — unregistered Kryo field-serializes the Hadoop
+  * `Configuration` and fails (round-13 advisory; Spark handles its own
+  * SerializableConfiguration with an explicit Kryo registration in
+  * KryoSerializer.registerClasses, which is likewise private). If this
+  * engine ever flips the session to Kryo, register a mirroring custom
+  * serializer for this class alongside that change.
   */
 class SerHadoopConf(@transient var value: org.apache.hadoop.conf.Configuration)
     extends Serializable {

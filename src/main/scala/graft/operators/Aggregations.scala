@@ -66,8 +66,18 @@ object Aggregations {
     * already hash-match on. The per-row scale-up is decimal×decimal
     * (exact, integer-valued by construction), summed as DECIMAL(≤38,0)
     * (mergeable, ≥1e26 headroom — scale-safe at any corpus); only the
-    * final gate-facing cast narrows to BIGINT (overflows past ~9.2e18
-    * minor units ≈ $9.2e13 of charge per group — not a 100 TB concern).
+    * final gate-facing cast narrows to BIGINT. That narrowing IS a scale
+    * exposure (round-13 advisory corrected the original arithmetic here):
+    * Long.Max ≈ 9.2e18 u6-units is only $9.2e12 of charge per group, and
+    * the measured top-group charge_u6 sum at sf0.01 is ~5.3e14 — so
+    * sum_charge_u6 overflows at ~17,000× sf0.01 (~175 GB-equivalent
+    * corpus) and sum_disc_price_u4 at 100× that (~17 TB). Spark's
+    * non-ANSI decimal→long cast yields SILENT NULLS on overflow while
+    * DuckDB's CAST raises, so `toLongChecked` guards the narrowing: in
+    * range → the same BIGINT; out of range → raise_error, matching the
+    * oracle's loud-failure semantics instead of silently nulling. (A
+    * 100-TB deployment keeps the DECIMAL(38,0) sums and skips the
+    * narrowing; BIGINT-out is this row's driver-proven gate dtype.)
     * Same plan shape as the flagship: partial hash agg, one shuffle on
     * the group keys. */
   def aggPricingDecimal(spark: SparkSession, sfDir: String): DataFrame = {
@@ -86,13 +96,27 @@ object Aggregations {
         (ext * (one - disc) * (one + tax) * u6).cast("decimal(30,0)").as("charge_u6"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum("qty_c2").cast("long").as("sum_qty_c2"),
-        sum("ext_c2").cast("long").as("sum_base_price_c2"),
-        sum("disc_price_u4").cast("long").as("sum_disc_price_u4"),
-        sum("charge_u6").cast("long").as("sum_charge_u6"),
+        toLongChecked(sum("qty_c2"), "sum_qty_c2").as("sum_qty_c2"),
+        toLongChecked(sum("ext_c2"), "sum_base_price_c2").as("sum_base_price_c2"),
+        toLongChecked(sum("disc_price_u4"), "sum_disc_price_u4").as("sum_disc_price_u4"),
+        toLongChecked(sum("charge_u6"), "sum_charge_u6").as("sum_charge_u6"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
+
+  /** BIGINT-range-checked decimal→long narrowing: Spark's non-ANSI cast
+    * silently NULLs a decimal that exceeds Long range, which would diverge
+    * from the DuckDB oracle's raising CAST exactly when it matters (the
+    * corpus scale where q1_decimal's minor-unit sums outgrow int64 — see
+    * aggPricingDecimal's headroom arithmetic). In range the value is
+    * unchanged; out of range the query FAILS LOUDLY instead of emitting
+    * nulls. Output type is the `when` branch's LongType either way. */
+  private def toLongChecked(c: org.apache.spark.sql.Column, name: String)
+      : org.apache.spark.sql.Column =
+    when(c.isNull.or(c.between(lit(Long.MinValue), lit(Long.MaxValue))),
+      c.cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"$name overflows BIGINT minor units: "), c.cast("string"))))
 
   /** Histogram bucket count — 10 keeps every bucket populated at sf0.001
     * while still exercising the least() edge-cap on the max value. */

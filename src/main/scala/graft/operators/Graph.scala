@@ -34,30 +34,15 @@ object Graph {
   // hash-builds comfortably; shuffle-hash above it
   private val BcastEdgeMax = 8000000L
 
-  /** Edge-build shuffle width, sized by source bytes (the sink family's
-    * bytes/target rule). Round-13 ProfileJobs attribution of the sweep
-    * knee: at ×100 the 32-task build stages spilled 43 GB (pagerank's
-    * adjacency collect_list) and 69+22 GB (cc's support-count pair
-    * aggregation) while EVERY propagation round ran sub-second, and at
-    * ×30 the same stages spilled NOTHING — the 30×→100× knee is
-    * build-spill onset, not iteration cost. The pair fan-out plus
-    * aggregation-buffer row overhead inflate each source parquet byte
-    * ~60× in those stages, so ~4 MB of lineitem parquet per task keeps
-    * the buffers resident (×100: ~256 tasks). The wide width engages
-    * with HYSTERESIS (only at ≥4× the session width ⇔ ≥512 MB source):
-    * an unconditional wide build was sweep-measured SLOWER wherever the
-    * narrow build wasn't spilling (+48% at ×30, +57% at ×1 — extra
-    * exchange + degraded map-side combine with nothing to buy back), so
-    * below spill onset the builders keep their round-12 plans
-    * byte-identical (sf0.01/sf0.1/×10/×30 → session width). */
-  private def buildParts(spark: SparkSession, sfDir: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(s"$sfDir/lineitem.parquet")
-    val bytes = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .getContentSummary(p).getLength
-    val conf = spark.sessionState.conf.numShufflePartitions
-    val wide = (bytes / (4L << 20)).toInt
-    if (wide >= 4 * conf) wide else conf
-  }
+  /** Edge-build shuffle width — `ScaleRules.wideBuildWidth` (the factored
+    * spill-onset rule; constants, hysteresis rationale, and the round-13
+    * ProfileJobs attribution of the 30×→100× build-spill knee live there)
+    * over the parquet bytes of the relation the build actually fans out:
+    * all three graph builders pair-join lineitem, so that's the path every
+    * call site passes — a future builder over a different relation passes
+    * its own source instead of inheriting a lineitem assumption. */
+  private def buildParts(spark: SparkSession, sfDir: String): Int =
+    graft.ScaleRules.wideBuildWidth(spark, s"$sfDir/lineitem.parquet")
 
   /** PageRank over the part co-purchase graph. Node set = edge endpoints
     * (parts with at least one co-purchase); the graph is SYMMETRIC by
@@ -288,7 +273,18 @@ object Graph {
     * aggregate, no join: labels only ever DECREASE, so the label sum is
     * strictly monotone and fixpoint ⟺ sum unchanged. Returns the
     * checkpointed (node, lbl) relation, edge cache released. */
-  private[graft] def ccLabels(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def ccLabels(spark: SparkSession, sfDir: String): DataFrame =
+    ccPropagate(ccPairs(spark, sfDir), buildParts(spark, sfDir))
+
+  /** Min-label propagation fixpoint over an arbitrary SYMMETRIC (a, b)
+    * edge relation — the propagation core shared by batch `graph_cc`
+    * (support-≥2 co-purchase pairs, wide build past spill onset) and the
+    * streaming forest consolidation (`StreamOps.ccConsolidate`, which
+    * symmetrizes its node-bounded forest and runs at session width).
+    * `wide` is the build-stage shuffle width (pass the session width, or
+    * 0, for no wide build — see ScaleRules.wideBuildWidth). */
+  private[graft] def ccPropagate(pairs: DataFrame, wide: Int): DataFrame = {
+    val spark = pairs.sparkSession
     // The self-loop is APPENDED to each node's neighbor array instead of
     // unioned in as extra edge rows: the union form consumed `pairs`
     // twice (edge rows + a distinct node projection), and with the wide
@@ -300,9 +296,7 @@ object Graph {
     // adjacency comes back to session width for the propagation rounds
     // (sub-second per round at 32; the wide form paid an extra stage per
     // round).
-    val wide = buildParts(spark, sfDir)
     val narrow = spark.sessionState.conf.numShufflePartitions
-    val pairs = ccPairs(spark, sfDir)
     val built = (if (wide > narrow) pairs.repartition(wide, col("a"))
                  else pairs.repartition(col("a")))
       .groupBy("a").agg(collect_list("b").as("nbrs0"))
@@ -333,8 +327,8 @@ object Graph {
       iter += 1
     }
     require(converged,
-      s"graph_cc did not converge within $CcMaxRounds rounds — component diameter bug?")
-    System.err.println(s"[graph_cc] converged in $iter rounds ($sfDir)")
+      s"ccPropagate did not converge within $CcMaxRounds rounds — component diameter bug?")
+    System.err.println(s"[ccPropagate] converged in $iter rounds")
     adjF.unpersist()
     lab
   }

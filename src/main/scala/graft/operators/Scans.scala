@@ -67,13 +67,21 @@ object Scans {
     root
   }
 
-  /** Collision-free per-sfDir subdirectory key: the sanitized FULL path,
-    * not a 32-bit hashCode — two distinct sfDirs can share an Int hash
-    * (and `math.abs(Int.MinValue)` is negative), which would silently
-    * rebind one dataset's lazily-read sink dir to another's data — the
-    * exact cross-dataset bug per-sfDir keying exists to prevent. */
-  private[operators] def dirKey(sfDir: String): String =
-    sfDir.replaceAll("[^A-Za-z0-9]", "_")
+  /** Collision-free per-sfDir subdirectory key: the sanitized FULL path
+    * (readable in tmp listings) plus a SHA-1 disambiguator of the raw
+    * path. Neither half alone is collision-free — a 32-bit hashCode
+    * collides by birthday (and `math.abs(Int.MinValue)` is negative), and
+    * the round-13 advisory observed the sanitizer alone folds distinct
+    * paths too (`/data/sf0.1` vs `/data/sf0_1` → the same `_data_sf0_1`).
+    * Any collision silently rebinds one dataset's lazily-read sink dir to
+    * another's data — the exact cross-dataset bug per-sfDir keying exists
+    * to prevent. */
+  private[operators] def dirKey(sfDir: String): String = {
+    val sha = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(sfDir.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    s"${sfDir.replaceAll("[^A-Za-z0-9]", "_")}_$sha"
+  }
 
   def sourceCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val tmp = s"${tmpRoot(spark)}/roundtrip_${dirKey(sfDir)}"

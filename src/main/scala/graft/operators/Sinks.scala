@@ -180,18 +180,17 @@ object Sinks {
   private[operators] val ZorderMinFiles = 8
 
   /** File count = input bytes / target file size (floored at
-    * `ZorderMinFiles`) — the same n = bytes/target rule the compaction
-    * Scaladoc describes for production. Sized from the SOURCE parquet
-    * footprint, so the file count scales linearly with the corpus instead
-    * of pinning output parallelism at a constant (the round-6 100× sweep
-    * measured that pin as a ×9.3 wall-clock outlier: 100× rows forced
-    * through the same 8 write tasks). */
-  private[operators] def zorderFiles(spark: SparkSession, sfDir: String): Int = {
-    val path = new org.apache.hadoop.fs.Path(s"$sfDir/lineitem.parquet")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(path).getLength
-    math.max(ZorderMinFiles, math.ceil(bytes.toDouble / ZorderTargetBytes).toInt)
-  }
+    * `ZorderMinFiles`) via `ScaleRules.bytesScaledCount` — the factored
+    * bytes/target rule (shared with the graph builds' spill-onset width;
+    * see ScaleRules). Sized from the SOURCE parquet footprint, so the file
+    * count scales linearly with the corpus instead of pinning output
+    * parallelism at a constant (the round-6 100× sweep measured that pin
+    * as a ×9.3 wall-clock outlier: 100× rows forced through the same 8
+    * write tasks). Every sink that rewrites lineitem (zorder, DV data
+    * files, clustered copy) keys off the lineitem path it reads. */
+  private[operators] def zorderFiles(spark: SparkSession, sfDir: String): Int =
+    graft.ScaleRules.bytesScaledCount(
+      spark, s"$sfDir/lineitem.parquet", ZorderTargetBytes, ZorderMinFiles)
 
   /** Spread the low 16 bits of `c` (long) to the even bit positions —
     * the magic-number interleave step of a Morton/Z-order code. All plain

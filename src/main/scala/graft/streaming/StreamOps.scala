@@ -355,6 +355,26 @@ object StreamOps {
       .transformWithState(new CcForestProcessor, TimeMode.None(), OutputMode.Append())
   }
 
+  /** The periodic batch consolidation that completes the streaming-CC
+    * operator (SURVEY §2.9 declares it as part of the row; until round 14
+    * it lived only in the spec as a local union-find): min-label connected
+    * components over the accumulated FOREST edges alone, which equal the
+    * batch `graph_cc` labels over the full edge stream node for node (the
+    * per-bucket forests preserve global connectivity — see
+    * CcForestProcessor). Input: a 2-column (a, b) forest relation;
+    * output: (node, lbl). Runs the SAME distributed propagation core as
+    * batch graph_cc (`Graph.ccPropagate` — one engine kernel, so the twin
+    * cannot drift), after symmetrizing: forest edges are emitted once per
+    * undirected pair, and min-label needs the label to flow both ways.
+    * Width: the forest is node-bounded by construction (≤ buckets·(n−1)
+    * rows regardless of stream length), so the session width is the right
+    * build width — no wide-build gate. */
+  def ccConsolidate(forest: DataFrame): DataFrame = {
+    val f = forest.toDF("a", "b")
+    val sym = f.union(f.select(col("b").as("a"), col("a").as("b")))
+    graft.operators.Graph.ccPropagate(sym, 0)
+  }
+
   /** Arbitrary stateful processing: running per-user event count
     * (mapGroupsWithState; update output mode). */
   def runningUserCounts(events: Dataset[Evt]): Dataset[(Long, Long)] = {

@@ -22,4 +22,23 @@ trait SparkSpec extends AnyFunSuite {
   // as sf0.1; any spec comment citing a scale factor means these paths).
   val sf001 = "/root/testdata/sf0.001"
   val sf01 = "/root/testdata/sf0.01"
+
+  /** Spec-side half of the output-dtype contract (SURVEY §5.7): oracle-
+    * checked rows get their dtypes gated by preverify/the driver
+    * (PROVEN_DTYPES — the q1_decimal r12 lesson that value-identical
+    * local output can still hash-fail at the driver on an unproven
+    * dtype), but a spec-gated (✗-oracle) row never passes through that
+    * gate. Any spec pinning a NEW operator calls this on the operator's
+    * output so its schema stays inside the driver-proven dtype family.
+    * The Scala set mirrors tools/preverify.py's PROVEN_DTYPES (BIGINT,
+    * BOOLEAN, DATE, DOUBLE, INTEGER, TIMESTAMP, VARCHAR). */
+  def assertProvenDtypes(df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.types._
+    val proven: Set[DataType] = Set(LongType, IntegerType, DoubleType,
+      StringType, BooleanType, DateType, TimestampType, TimestampNTZType)
+    val bad = df.schema.fields.filterNot(f => proven.contains(f.dataType))
+    assert(bad.isEmpty,
+      "output dtypes outside the driver-proven set (preverify PROVEN_DTYPES): " +
+        bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", "))
+  }
 }

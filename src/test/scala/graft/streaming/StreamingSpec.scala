@@ -502,29 +502,21 @@ class StreamingSpec extends SparkSpec {
       // consolidation input is far smaller than the edge stream
       assert(forest.length < edges.length / 2,
         s"forest (${forest.length}) must reduce the edge stream (${edges.length})")
-      // periodic consolidation pass: min-label CC over the forest alone
-      // (local union-find with union-by-min-root — the root of every tree
-      // is the component's min node by induction) must equal the batch
-      // operator's fixpoint labels over ALL edges, node for node
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x
-        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      forest.foreach { case (a, b) =>
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) {
-          val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra)
-          parent(hi) = lo
-        }
-      }
-      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
-      val streamLabels = nodes.map(n => n -> find(n)).toMap
+      // periodic consolidation pass — the ENGINE's function (round-14
+      // verdict item: until then this assertion ran its own local
+      // union-find replica, so the operator's declared consolidation half
+      // had no engine-side owner). StreamOps.ccConsolidate runs the same
+      // distributed min-label propagation core as batch graph_cc over the
+      // forest alone; its labels must equal the batch operator's fixpoint
+      // labels over ALL edges, node for node (same node set too — every
+      // edge-incident node appears in some forest edge).
+      val consolidated = StreamOps.ccConsolidate(
+        spark.sql("SELECT a, b FROM t_ccforest"))
+      assertProvenDtypes(consolidated)
+      val streamLabels = consolidated.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(streamLabels == batch,
-        "forest-consolidated labels must equal the batch graph_cc labels")
+        "engine-consolidated forest labels must equal the batch graph_cc labels")
     } finally {
       q.stop()
       prev match {
