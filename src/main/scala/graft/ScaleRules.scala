@@ -44,9 +44,21 @@ object ScaleRules {
     math.max(minCount,
       math.ceil(sourceBytes(spark, path).toDouble / targetBytes).toInt)
 
-  /** Source bytes per task that keep a fan-out build stage's aggregation
-    * buffers resident (the round-13 ProfileJobs-measured ~60× inflation). */
+  /** Source bytes per task that keep the GRAPH builds' fan-out aggregation
+    * buffers resident (the round-13 ProfileJobs-measured ~60× inflation of
+    * source parquet bytes into pair + aggregation-buffer rows). */
   val WideBuildTaskBytes: Long = 4L << 20
+
+  /** Source bytes per task for the ANN IVF candidate join: its inflation is
+    * ~840× (round-14 ProfileJobs at ×100: 52.7 MB of embeddings parquet
+    * became ~44 GB of (a, b, cos) candidate rows sorted by the map-side
+    * WindowGroupLimit in ONE 32-task stage — 40.8 GB memory spill + 8.2 GB
+    * disk spill, 66.5 s of the build's 79.5 s), ~14× the graph builds', so
+    * it gets its own per-task budget on the same hysteresis mechanism:
+    * 256 KB of source per task ≈ ~215 MB of candidate sort data per task
+    * at ×100, inside a task's execution-memory share at the sweep's 24 GB
+    * heap / 32 threads. */
+  val AnnCandidateTaskBytes: Long = 128L << 10
 
   /** Hysteresis: the wide width engages only at ≥ this multiple of the
     * session shuffle width — below spill onset, narrow plans stay put. */
@@ -54,10 +66,13 @@ object ScaleRules {
 
   /** Shuffle width for a spill-prone build stage over the source at `path`:
     * the session width until the bytes-scaled width clears the hysteresis
-    * gate, then bytes / WideBuildTaskBytes. */
-  def wideBuildWidth(spark: SparkSession, path: String): Int = {
+    * gate, then bytes / perTaskBytes. `perTaskBytes` is the stage family's
+    * measured-inflation budget (WideBuildTaskBytes for the graph builds,
+    * AnnCandidateTaskBytes for the ANN candidate join). */
+  def wideBuildWidth(spark: SparkSession, path: String,
+      perTaskBytes: Long = WideBuildTaskBytes): Int = {
     val conf = spark.sessionState.conf.numShufflePartitions
-    val wide = (sourceBytes(spark, path) / WideBuildTaskBytes).toInt
+    val wide = (sourceBytes(spark, path) / perTaskBytes).toInt
     if (wide >= WideBuildHysteresis * conf) wide else conf
   }
 }

@@ -460,7 +460,18 @@ object LlmVector {
     val nFrag = 8
     val indexedF = indexed.withColumn("frag", explode(sequence(lit(0), lit(nFrag - 1))))
     val probesF = probes.withColumn("frag", pmod(hash(col("a")), lit(nFrag)))
-    val parts = spark.sessionState.conf.numShufflePartitions
+    // Candidate-join width: the dot-product + map-side WindowGroupLimit
+    // stage sorts EVERY candidate (a, b, cos) row, and at ×100 the
+    // session-width (32-task) form spilled 40.8 GB mem + 8.2 GB disk in
+    // that one stage — 66.5 of the build's 79.5 s (round-14 ProfileJobs;
+    // the same spill-onset signature as the round-13 graph builds). The
+    // shared hysteresis rule widens it past onset (×100 → ~205 tasks,
+    // candidate sort buffers resident) and leaves every other scale's
+    // plan byte-identical (sf0.1/×10/×30 stay at session width; ×30's
+    // measured band was already healthy). (cell, frag) has ~20k distinct
+    // keys, so the wide hash distribution stays balanced.
+    val parts = graft.ScaleRules.wideBuildWidth(
+      spark, s"$sfDir/embeddings.parquet", graft.ScaleRules.AnnCandidateTaskBytes)
     topkWithin(probesF.repartition(parts, col("cell"), col("frag"))
       .join(indexedF.hint("shuffle_hash"), Seq("cell", "frag"))
       .filter(col("a") =!= col("b"))
@@ -581,7 +592,13 @@ object LlmVector {
     val nFrag = 8
     val codesF = codes.withColumn("frag", explode(sequence(lit(0), lit(nFrag - 1))))
     val probesF = probes.withColumn("frag", pmod(hash(col("a")), lit(nFrag)))
-    val parts = spark.sessionState.conf.numShufflePartitions
+    // Same spill-onset width as buildAnnTopk: the round-14 ×100 profile
+    // showed the decode-dot + shortlist-window stage with the IDENTICAL
+    // 32-task signature (40.8 GB mem + 8.2 GB disk spill, 68.9 s) — the
+    // shortlist sort runs over the same ~per-candidate row count as the
+    // plain-IVF candidate sort, so it shares AnnCandidateTaskBytes.
+    val parts = graft.ScaleRules.wideBuildWidth(
+      spark, s"$sfDir/embeddings.parquet", graft.ScaleRules.AnnCandidateTaskBytes)
     val approx = probesF.repartition(parts, col("cell"), col("frag"))
       .join(codesF.hint("shuffle_hash"), Seq("cell", "frag"))
       .filter(col("a") =!= col("b"))
