@@ -280,7 +280,24 @@ object Sinks {
   }
 
   /** Range-partitioned file count for the manifest-pruned snapshot. */
-  private[operators] val ManifestFiles = 8
+  /** Floor on the manifest table's file count (below it the quarter-span
+    * predicate can't demonstrate pruning). The ACTUAL count is bytes-scaled
+    * — see `manifestFiles`. */
+  private[operators] val ManifestMinFiles = 8
+
+  /** File count for the manifest fixture — the same bytes/target rule as
+    * `zorderFiles`/`dvFiles`, keyed on the ORDERS footprint this sink
+    * rewrites. All three oracle SFs floor at 8 (layout byte-identical to
+    * the historical fixed pin), but the pin was the family's known scale
+    * smell: the round-14 ×100 ProfileJobs pass measured the fixture write
+    * pushing 425 MB through 8 tasks — 3.3 s of the row's ~8.4 s wall, the
+    * stage a host-I/O stall window hits hardest (the [7.6–16.1] sweep
+    * band; in-session passes are stable at ±0.3%). Bytes-scaling spreads
+    * the write (×100 → ~155 tasks) exactly like the round-6 zorder and
+    * round-11 DV fixes. */
+  private[operators] def manifestFiles(spark: SparkSession, sfDir: String): Int =
+    graft.ScaleRules.bytesScaledCount(
+      spark, s"$sfDir/orders.parquet", ZorderTargetBytes, ManifestMinFiles)
 
   /** Ceiling on the pruned file list held on the driver. The list is
     * O(#files-after-pruning) planning metadata — the listing every table
@@ -300,8 +317,9 @@ object Sinks {
   private[operators] def prunedScan(spark: SparkSession, sfDir: String,
       maxPlanFiles: Int = ManifestMaxPlanFiles): (Int, DataFrame) = {
     val out = s"${Scans.tmpRoot(spark)}/manifest_orders_${Scans.dirKey(sfDir)}"
+    val nFiles = manifestFiles(spark, sfDir)
     Tables.orders(spark, sfDir)
-      .repartitionByRange(ManifestFiles, col("o_orderkey"))
+      .repartitionByRange(nFiles, col("o_orderkey"))
       .sortWithinPartitions("o_orderkey")
       .write.mode("overwrite").parquet(out)
     // the manifest: per-file key stats, computed DISTRIBUTEDLY (one
@@ -330,7 +348,7 @@ object Sinks {
       System.err.println(s"[sink_manifest_prune] predicate selects more than " +
         s"$maxPlanFiles files — skipping file pruning, reading the full " +
         "snapshot with the predicate pushed to the scan (result-identical)")
-      (ManifestFiles,
+      (nFiles,
         spark.read.parquet(out).filter(col("o_orderkey").between(klo, khi)))
     } else {
       val files = capped.sorted
@@ -342,7 +360,7 @@ object Sinks {
 
   /** Manifest-based file skipping — the table-format data-skipping read
     * path (Delta/Iceberg style) over plain parquet: orders written as
-    * `ManifestFiles` range-partitioned files, a manifest of per-file
+    * `manifestFiles(...)` (bytes-scaled) range-partitioned files, a manifest of per-file
     * (min, max) key stats computed distributedly, and a key-range
     * predicate planned against the manifest so only overlapping files are
     * opened. The spec asserts the physical claim (fewer files read); the

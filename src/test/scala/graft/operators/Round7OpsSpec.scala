@@ -33,9 +33,10 @@ class Round7OpsSpec extends SparkSpec {
   }
 
   test("manifest prune reads strictly fewer files and loses no rows") {
+    val total = Sinks.manifestFiles(spark, sf001) // = ManifestMinFiles at sf0.001
     val (nFiles, pruned) = Sinks.prunedScan(spark, sf001)
-    assert(nFiles >= 1 && nFiles < Sinks.ManifestFiles,
-      s"a quarter-span predicate must skip files: read $nFiles of ${Sinks.ManifestFiles}")
+    assert(nFiles >= 1 && nFiles < total,
+      s"a quarter-span predicate must skip files: read $nFiles of $total")
     // logical equivalence vs a plain filter on the source (the oracle
     // asserts this at sf0.01 via DuckDB; here at a second SF)
     val orders = Tables.orders(spark, sf001)
@@ -52,7 +53,7 @@ class Round7OpsSpec extends SparkSpec {
   test("manifest prune past the driver-list cap falls back to a read-all scan, result-identical") {
     // a cap below the pruned file count forces the overflow path: the
     // driver list is never materialized past cap+1 rows, the scan reads
-    // the WHOLE snapshot (all ManifestFiles), and the filter still yields
+    // the WHOLE snapshot (all manifestFiles(...)), and the filter still yields
     // exactly the pruned-path rows. Each prunedScan call REWRITES the
     // snapshot dir, so the first result is materialized before the second
     // call invalidates its file listing.
@@ -60,7 +61,7 @@ class Round7OpsSpec extends SparkSpec {
     assert(nPruned >= 2, "need a multi-file pruned set to exercise the cap")
     val prunedRows = pruned.orderBy("o_orderkey").collect()
     val (nFallback, fallback) = Sinks.prunedScan(spark, sf001, maxPlanFiles = 1)
-    assert(nFallback === Sinks.ManifestFiles,
+    assert(nFallback === Sinks.manifestFiles(spark, sf001),
       s"past the cap the scan must read the full snapshot, read $nFallback")
     assert(fallback.orderBy("o_orderkey").collect() === prunedRows,
       "capped fallback must be result-identical to the pruned scan")
