@@ -71,11 +71,18 @@ object Aggregations {
     * Long.Max ≈ 9.2e18 u6-units is only $9.2e12 of charge per group, and
     * the measured top-group charge_u6 sum at sf0.01 is ~5.3e14 — so
     * sum_charge_u6 overflows at ~17,000× sf0.01 (~175 GB-equivalent
-    * corpus) and sum_disc_price_u4 at 100× that (~17 TB). Spark's
-    * non-ANSI decimal→long cast yields SILENT NULLS on overflow while
-    * DuckDB's CAST raises, so `toLongChecked` guards the narrowing: in
-    * range → the same BIGINT; out of range → raise_error, matching the
-    * oracle's loud-failure semantics instead of silently nulling. (A
+    * corpus) and sum_disc_price_u4 at 100× that (~17 TB). The failure
+    * mode is session-config-dependent, and measurement (Round14OpsSpec)
+    * corrected the round-13 advisory's description: under
+    * `spark.sql.ansi.enabled=false` (legacy mode) the decimal→long cast
+    * does not NULL — it silently WRAPS (2⁶³ comes back as Long.MinValue:
+    * corrupted money with no error) while DuckDB's CAST raises; Spark
+    * 4's ANSI-on default raises CAST_OVERFLOW but names no column.
+    * `toLongChecked` guards the narrowing mode-independently: in range →
+    * the same BIGINT; out of range → raise_error carrying the COLUMN
+    * NAME, matching the oracle's loud-failure semantics in every session
+    * (Round14OpsSpec pins both modes — no test-SF corpus can exercise
+    * this). (A
     * 100-TB deployment keeps the DECIMAL(38,0) sums and skips the
     * narrowing; BIGINT-out is this row's driver-proven gate dtype.)
     * Same plan shape as the flagship: partial hash agg, one shuffle on
@@ -111,7 +118,7 @@ object Aggregations {
     * aggPricingDecimal's headroom arithmetic). In range the value is
     * unchanged; out of range the query FAILS LOUDLY instead of emitting
     * nulls. Output type is the `when` branch's LongType either way. */
-  private def toLongChecked(c: org.apache.spark.sql.Column, name: String)
+  private[graft] def toLongChecked(c: org.apache.spark.sql.Column, name: String)
       : org.apache.spark.sql.Column =
     when(c.isNull.or(c.between(lit(Long.MinValue), lit(Long.MaxValue))),
       c.cast("long"))
