@@ -29,14 +29,14 @@ object GraftProps extends Properties("graft") {
 
   property("unionAll count = sum of counts") = forAllNoShrink(genInts, genInts) { (a, b) =>
     import spark.implicits._
-    a.toDS.union(b.toDS).count() == a.size + b.size
+    a.toDS().union(b.toDS()).count() == a.size + b.size
   }
 
   property("except ∪ intersect partitions the distinct left side") =
     forAllNoShrink(genInts, genInts) { (a, b) =>
       import spark.implicits._
-      val l = a.toDS
-      val r = b.toDS
+      val l = a.toDS()
+      val r = b.toDS()
       val ex = l.except(r).collect().toSet
       val in = l.intersect(r).collect().toSet
       (ex ++ in) == a.toSet && (ex & in).isEmpty
@@ -44,7 +44,7 @@ object GraftProps extends Properties("graft") {
 
   property("dropDuplicates is idempotent") = forAllNoShrink(genInts) { a =>
     import spark.implicits._
-    val once = a.toDS.dropDuplicates()
+    val once = a.toDS().dropDuplicates()
     once.dropDuplicates().count() == once.count() && once.count() == a.toSet.size
   }
 

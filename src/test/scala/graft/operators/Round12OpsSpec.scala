@@ -24,7 +24,7 @@ class Round12OpsSpec extends SparkSpec {
     val edge = spark.range(1).selectExpr(
       "graft_sorted_contains(CAST(array() AS ARRAY<LONG>), 1L) AS e",
       "graft_sorted_contains(CAST(NULL AS ARRAY<LONG>), 1L) AS na",
-      "graft_sorted_contains(array(1L), CAST(NULL AS LONG)) AS nv").head
+      "graft_sorted_contains(array(1L), CAST(NULL AS LONG)) AS nv").head()
     assert(!edge.getBoolean(0))
     assert(edge.isNullAt(1) && edge.isNullAt(2))
     // interpreted path (direct eval, no codegen)

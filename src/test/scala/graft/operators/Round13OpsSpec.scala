@@ -31,7 +31,7 @@ class Round13OpsSpec extends SparkSpec {
     val baseline = Map("m" -> (0.0, 1.0))
     val days = (1L to 6L).map(d => ("m", d, 2.0))
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, Double)]
-    val q = graft.streaming.StreamOps.cusumPerKey(in.toDS, baseline)
+    val q = graft.streaming.StreamOps.cusumPerKey(in.toDS(), baseline)
       .toDF("k", "day", "s_up", "s_dn", "alarm")
       .writeStream.format("memory").queryName("t_cusum13").outputMode("update").start()
     try {

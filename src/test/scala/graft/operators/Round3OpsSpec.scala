@@ -15,8 +15,8 @@ class Round3OpsSpec extends SparkSpec {
         col("low") <= col("open") && col("open") <= col("high") &&
           col("low") <= col("close") && col("close") <= col("high"))
     assert(bars.filter(!col("ok")).count() === 0)
-    val total = bars.agg(round(sum("volume"), 0)).head.getDouble(0)
-    val raw = graft.Tables.events(spark, sf001).agg(round(sum("value"), 0)).head.getDouble(0)
+    val total = bars.agg(round(sum("volume"), 0)).head().getDouble(0)
+    val raw = graft.Tables.events(spark, sf001).agg(round(sum("value"), 0)).head().getDouble(0)
     // per-bar 2-decimal rounding can drift the sum by < 0.005 per bar
     assert(math.abs(total - raw) <= 1.0)
   }
@@ -60,13 +60,13 @@ class Round3OpsSpec extends SparkSpec {
     val w = org.apache.spark.sql.expressions.Window.orderBy("day")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val worst = s.withColumn("ddv", col("rev") / max("rev").over(w) - 1.0)
-      .agg(min("ddv")).head.getDouble(0)
+      .agg(min("ddv")).head().getDouble(0)
     assert(worst === 0.0)
   }
 
   test("context packs partition the corpus and respect the running-sum budget shape") {
     val packs = llmPacks()
-    val nDocs = packs.agg(sum("n_docs")).head.getLong(0)
+    val nDocs = packs.agg(sum("n_docs")).head().getLong(0)
     assert(nDocs === graft.Tables.documents(spark, sf001).count(),
       "every document lands in exactly one pack")
     // pack ids per lang are contiguous from 0

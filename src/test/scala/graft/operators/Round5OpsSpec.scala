@@ -16,7 +16,7 @@ class Round5OpsSpec extends SparkSpec {
       .selectExpr(
         "graft_sorted_intersect_count(array('a', CAST(NULL AS STRING), 'b'), array('a', 'b')) AS s",
         "graft_sorted_intersect_count(array(CAST(NULL AS LONG), 1L, 2L), array(1L, CAST(NULL AS LONG), 3L)) AS l")
-      .head
+      .head()
     assert(viaDf.getInt(0) === 2, "null string element must be skipped, not counted")
     assert(viaDf.getInt(1) === 1, "null long elements on either side must be skipped")
     // interpreted path (direct eval, no codegen)
@@ -63,7 +63,7 @@ class Round5OpsSpec extends SparkSpec {
     assert(cd.filter(col("n_surviving") < col("n_chunks")).count() > 0,
       "at least one doc must lose a duplicated chunk — a vacuous row proves nothing")
     // total surviving chunks = number of distinct chunk texts in the corpus
-    val surviving = cd.agg(sum("n_surviving")).head.getLong(0)
+    val surviving = cd.agg(sum("n_surviving")).head().getLong(0)
     cd.unpersist()
     val docs = graft.Tables.documents(spark, sf01)
       .select(split(lower(trim(col("text"))), " ").as("toks"))
@@ -84,7 +84,7 @@ class Round5OpsSpec extends SparkSpec {
 
   test("domain mix weights are positive and sum to 1") {
     val mix = LlmText.llmDomainMix(spark, sf001)
-    val s = mix.agg(sum("mix_weight")).head.getDouble(0)
+    val s = mix.agg(sum("mix_weight")).head().getDouble(0)
     assert(math.abs(s - 1.0) < 1e-3, s"weights sum to $s") // 6-dp rounding × n groups
     assert(mix.filter(col("mix_weight") <= 0).count() === 0)
   }
@@ -121,17 +121,17 @@ class Round5OpsSpec extends SparkSpec {
   }
 
   test("merged HLL sketches estimate the cross-day distinct within 5%") {
-    val row = Aggregations.aggHllMerge(spark, sf01).head
+    val row = Aggregations.aggHllMerge(spark, sf01).head()
     val est = row.getLong(1).toDouble
     val exact = graft.Tables.events(spark, sf01)
-      .agg(countDistinct("user_id")).head.getLong(0).toDouble
+      .agg(countDistinct("user_id")).head().getLong(0).toDouble
     assert(row.getLong(0) > 1, "must actually merge sketches across multiple days")
     assert(math.abs(est - exact) / exact <= 0.05,
       s"merged estimate $est vs exact $exact drifted beyond the HLL error bound")
   }
 
   test("q13 histogram masses sum to the customer count") {
-    val total = Tpch.q13OrderCountDist(spark, sf001).agg(sum("custdist")).head.getLong(0)
+    val total = Tpch.q13OrderCountDist(spark, sf001).agg(sum("custdist")).head().getLong(0)
     assert(total === graft.Tables.customer(spark, sf001).count())
   }
 

@@ -27,7 +27,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Evt]
-    val q = StreamOps.tumblingCounts(in.toDF)
+    val q = StreamOps.tumblingCounts(in.toDF())
       .writeStream.format("memory").queryName("t_tumbling").outputMode("append").start()
     try {
       in.addData(evt("10:00"), evt("10:30"))
@@ -50,7 +50,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Evt]
-    val q = StreamOps.sessionCounts(in.toDF)
+    val q = StreamOps.sessionCounts(in.toDF())
       .writeStream.format("memory").queryName("t_session").outputMode("append").start()
     try {
       in.addData(evt("10:00"), evt("10:10"), evt("11:00")) // sessions: [10:00,10:40) x2, [11:00,11:30) x1
@@ -69,7 +69,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Evt]
-    val q = StreamOps.dedupWithinWatermark(in.toDF)
+    val q = StreamOps.dedupWithinWatermark(in.toDF())
       .writeStream.format("memory").queryName("t_dedup").outputMode("append").start()
     try {
       in.addData(evt("10:00", id = 1L), evt("10:05", id = 2L))
@@ -87,7 +87,7 @@ class StreamingSpec extends SparkSpec {
     val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val src = s"$base/src"
     val ckpt = s"$base/ckpt"
-    Seq(evt("10:00"), evt("10:01"), evt("10:02", user = 2L)).toDS
+    Seq(evt("10:00"), evt("10:01"), evt("10:02", user = 2L)).toDS()
       .write.mode("append").parquet(src)
 
     def runOnce(): Unit = {
@@ -103,7 +103,7 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(first == Map(1L -> 2L, 2L -> 1L))
 
-    Seq(evt("10:10"), evt("10:11", user = 3L)).toDS.write.mode("append").parquet(src)
+    Seq(evt("10:10"), evt("10:11", user = 3L)).toDS().write.mode("append").parquet(src)
     runOnce() // restart from the same checkpoint: state restored, only new files read
     val second = spark.sql("SELECT user, count FROM t_file").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
@@ -127,7 +127,7 @@ class StreamingSpec extends SparkSpec {
     }
     assert(batches.map(_.size).sum > 0 && batches.forall(_.nonEmpty))
     val in = MemoryStream[MergeChangeRow]
-    val q = in.toDF.writeStream
+    val q = in.toDF().writeStream
       .foreachBatch(MergeSink.mergeBatch(root, "o_orderkey") _)
       .start()
     try {
@@ -170,7 +170,7 @@ class StreamingSpec extends SparkSpec {
     implicit val ctx = spark.sqlContext
     val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val in = MemoryStream[Evt]
-    val q = in.toDF.writeStream
+    val q = in.toDF().writeStream
       .foreachBatch { (df: DataFrame, id: Long) => seen.synchronized { seen += ((id, df.count())): Unit } }
       .start()
     try {
@@ -189,7 +189,7 @@ class StreamingSpec extends SparkSpec {
     implicit val ctx = spark.sqlContext
     val purchases = MemoryStream[Evt]
     val errors = MemoryStream[Evt]
-    val q = StreamOps.purchaseErrorJoin(purchases.toDF, errors.toDF)
+    val q = StreamOps.purchaseErrorJoin(purchases.toDF(), errors.toDF())
       .writeStream.format("memory").queryName("t_ssjoin").outputMode("append").start()
     try {
       errors.addData(evt("09:30", user = 1L, id = 100L), evt("11:30", user = 1L, id = 101L))
@@ -209,7 +209,7 @@ class StreamingSpec extends SparkSpec {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val in = MemoryStream[Evt]
-    val q = StreamOps.runningUserCountsV2(in.toDS)
+    val q = StreamOps.runningUserCountsV2(in.toDS())
       .toDF("user", "total")
       .writeStream.format("memory").queryName("t_tws").outputMode("update").start()
     try {
@@ -236,7 +236,7 @@ class StreamingSpec extends SparkSpec {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val in = MemoryStream[Evt]
-    val q = StreamOps.topkPerUserV2(in.toDS, 3)
+    val q = StreamOps.topkPerUserV2(in.toDS(), 3)
       .toDF("user", "top")
       .writeStream.format("memory").queryName("t_topk").outputMode("update").start()
     try {
@@ -282,7 +282,7 @@ class StreamingSpec extends SparkSpec {
       .map(r => AttrEvt(r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4)))
       .sortBy(e => (e.us, e.id))
     val in = MemoryStream[AttrEvt]
-    val q = StreamOps.streamAttribution(in.toDS, 6L * 3600L * 1000000L)
+    val q = StreamOps.streamAttribution(in.toDS(), 6L * 3600L * 1000000L)
       .toDF("user", "id", "value", "attr_hour")
       .writeStream.format("memory").queryName("t_attr").outputMode("update").start()
     try {
@@ -326,7 +326,7 @@ class StreamingSpec extends SparkSpec {
     def runStream(name: String, f: org.apache.spark.sql.Dataset[StreamOps.DayHit] =>
         org.apache.spark.sql.Dataset[(Long, Long, Long)]): Map[Long, (Long, Long)] = {
       val in = MemoryStream[(Long, Long)]
-      val q = f(StreamOps.toDayHits(in.toDS))
+      val q = f(StreamOps.toDayHits(in.toDS()))
         .toDF("day", "dau", "wau")
         .writeStream.format("memory").queryName(name).outputMode("update").start()
       try {
@@ -409,7 +409,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Evt]
-    val q = StreamOps.runningUserCounts(in.toDS)
+    val q = StreamOps.runningUserCounts(in.toDS())
       .toDF("user", "total")
       .writeStream.format("memory").queryName("t_state").outputMode("update").start()
     try {
@@ -451,7 +451,7 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && batch.exists(v => v._2._1 > 0 || v._2._2 > 0),
       "fixture should move the CUSUM statistic")
     val in = MemoryStream[(String, Long, Double)]
-    val q = StreamOps.cusumPerKey(in.toDS, base)
+    val q = StreamOps.cusumPerKey(in.toDS(), base)
       .toDF("k", "day", "s_up", "s_dn", "alarm")
       .writeStream.format("memory").queryName("t_cusum").outputMode("update").start()
     try {
@@ -488,7 +488,7 @@ class StreamingSpec extends SparkSpec {
     val batch = graft.operators.Graph.ccLabels(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     val in = MemoryStream[(Long, Long)]
-    val q = StreamOps.ccForestEdges(in.toDS, buckets = 8)
+    val q = StreamOps.ccForestEdges(in.toDS(), buckets = 8)
       .toDF("a", "b")
       .writeStream.format("memory").queryName("t_ccforest").outputMode("append").start()
     try {
