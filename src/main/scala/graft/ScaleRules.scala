@@ -54,10 +54,12 @@ object ScaleRules {
     * became ~44 GB of (a, b, cos) candidate rows sorted by the map-side
     * WindowGroupLimit in ONE 32-task stage — 40.8 GB memory spill + 8.2 GB
     * disk spill, 66.5 s of the build's 79.5 s), ~14× the graph builds', so
-    * it gets its own per-task budget on the same hysteresis mechanism:
-    * 256 KB of source per task ≈ ~215 MB of candidate sort data per task
-    * at ×100, inside a task's execution-memory share at the sweep's 24 GB
-    * heap / 32 threads. */
+    * it gets its own per-task budget on the same hysteresis mechanism.
+    * 128 KB of source per task ≈ ~110 MB of candidate sort data per task
+    * at ×100, comfortably inside a task's execution-memory grant at the
+    * sweep's 24 GB heap / 32 threads — the 256 KB first cut only HALVED
+    * the spill (per-task sort data still brushed the grant); re-profiling
+    * after the halving to 128 KB measured it gone (40.8 GB → 0.4 GB). */
   val AnnCandidateTaskBytes: Long = 128L << 10
 
   /** Hysteresis: the wide width engages only at ≥ this multiple of the

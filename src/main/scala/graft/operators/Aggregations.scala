@@ -111,13 +111,15 @@ object Aggregations {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
-  /** BIGINT-range-checked decimal→long narrowing: Spark's non-ANSI cast
-    * silently NULLs a decimal that exceeds Long range, which would diverge
+  /** BIGINT-range-checked decimal→long narrowing. The plain cast diverges
     * from the DuckDB oracle's raising CAST exactly when it matters (the
     * corpus scale where q1_decimal's minor-unit sums outgrow int64 — see
-    * aggPricingDecimal's headroom arithmetic). In range the value is
-    * unchanged; out of range the query FAILS LOUDLY instead of emitting
-    * nulls. Output type is the `when` branch's LongType either way. */
+    * aggPricingDecimal's headroom arithmetic): under ansi=false it
+    * silently WRAPS (measured, Round14OpsSpec — NOT the advisory's
+    * "silent NULLs"), under Spark 4's ANSI-on default it raises without
+    * naming a column. In range the value is unchanged; out of range the
+    * query FAILS LOUDLY with the column name in both modes. Output type
+    * is the `when` branch's LongType either way. */
   private[graft] def toLongChecked(c: org.apache.spark.sql.Column, name: String)
       : org.apache.spark.sql.Column =
     when(c.isNull.or(c.between(lit(Long.MinValue), lit(Long.MaxValue))),
