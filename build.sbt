@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Both scopes compile deprecation-clean as of round 14 — keep it that way
+// (the bare "N deprecations" summary otherwise hides new ones).
+ThisBuild / scalacOptions += "-deprecation"
 // The driver parses Bench's one-line JSON from captured sbt output. The
 // default LoggedOutput strategy prefixes every forked-run line with
 // "[info] ", which breaks strict JSON parsing (BENCH_r02 "parsed": null).
