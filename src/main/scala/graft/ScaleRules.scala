@@ -38,11 +38,23 @@ object ScaleRules {
       .getContentSummary(p).getLength
   }
 
-  /** Output-layout count: ceil(bytes / targetBytes), floored at `minCount`. */
+  /** Saturation point for `bytesScaledCount`: no output layout this engine
+    * writes exceeds 100k files/partitions, whatever the source bytes say.
+    * Linear bytes/target scaling is the right rule across every measured
+    * scale (the ×100 sweeps sit at ~150–5000), but unclamped it is itself
+    * the 100-TB bug: 100 TB over the sandbox-scaled 1.4 MB target is
+    * ~7×10⁷ output files — a file-listing and commit-protocol collapse no
+    * query on the table would ever pay back. Past the clamp, file SIZE
+    * grows instead of file count (100 TB / 100k = ~1 GB files, a normal
+    * large-table layout), which degrades gracefully; file count does not. */
+  val MaxScaledCount: Int = 100000
+
+  /** Output-layout count: ceil(bytes / targetBytes), floored at `minCount`,
+    * saturated at `MaxScaledCount` (see its doc for the 100-TB rationale). */
   def bytesScaledCount(spark: SparkSession, path: String,
       targetBytes: Long, minCount: Int): Int =
-    math.max(minCount,
-      math.ceil(sourceBytes(spark, path).toDouble / targetBytes).toInt)
+    math.max(minCount, math.min(MaxScaledCount,
+      math.ceil(sourceBytes(spark, path).toDouble / targetBytes)).toInt)
 
   /** Source bytes per task that keep the GRAPH builds' fan-out aggregation
     * buffers resident (the round-13 ProfileJobs-measured ~60× inflation of
@@ -66,15 +78,33 @@ object ScaleRules {
     * session shuffle width — below spill onset, narrow plans stay put. */
   val WideBuildHysteresis: Int = 4
 
+  /** Saturation point for `wideBuildWidth`. The per-task-bytes rule is
+    * correct at every measured scale (the ×100 sweeps yield ~205–254
+    * graph-build tasks and ~420 ANN tasks), but unclamped it is the one
+    * place the advertised 100-TB policy would itself become the scale
+    * bug: 100 TB over the 128 KB ANN budget is ~8×10⁸ shuffle
+    * partitions — the driver tracks a MapStatus per map×reduce pair, and
+    * reduce-side counts past ~10⁵ are scheduler/metadata collapse, not
+    * parallelism. 65536 ≈ 8 task waves on a 1000-executor × 8-core
+    * cluster — enough waves to smooth stragglers, small enough that
+    * shuffle bookkeeping stays driver-resident. Past the clamp, per-task
+    * bytes grow past the spill budget and the stage spills to disk —
+    * bounded, observable degradation, unlike an 8×10⁸-partition plan
+    * which never schedules at all. */
+  val MaxWideWidth: Int = 65536
+
   /** Shuffle width for a spill-prone build stage over the source at `path`:
     * the session width until the bytes-scaled width clears the hysteresis
-    * gate, then bytes / perTaskBytes. `perTaskBytes` is the stage family's
-    * measured-inflation budget (WideBuildTaskBytes for the graph builds,
-    * AnnCandidateTaskBytes for the ANN candidate join). */
+    * gate, then bytes / perTaskBytes saturated at `MaxWideWidth` (see its
+    * doc — the clamp is what keeps this rule valid AT 100 TB, not just
+    * toward it). `perTaskBytes` is the stage family's measured-inflation
+    * budget (WideBuildTaskBytes for the graph builds, AnnCandidateTaskBytes
+    * for the ANN candidate join). */
   def wideBuildWidth(spark: SparkSession, path: String,
       perTaskBytes: Long = WideBuildTaskBytes): Int = {
     val conf = spark.sessionState.conf.numShufflePartitions
-    val wide = (sourceBytes(spark, path) / perTaskBytes).toInt
+    val wide = math.min(MaxWideWidth.toLong,
+      sourceBytes(spark, path) / perTaskBytes).toInt
     if (wide >= WideBuildHysteresis * conf) wide else conf
   }
 }

@@ -240,8 +240,16 @@ object Graph {
   /** The support-≥2 symmetric pair list — factored out so the spec can
     * assert the defining CC property (every edge's endpoints share a
     * label) against exactly the operator's edges. */
-  private[graft] def ccPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val wide = buildParts(spark, sfDir)
+  private[graft] def ccPairs(spark: SparkSession, sfDir: String): DataFrame =
+    ccPairs(spark, sfDir, buildParts(spark, sfDir))
+
+  /** Width-threaded variant: `ccLabels` computes `buildParts` ONCE and
+    * passes it both here and to `ccPropagate`, so a graph_cc run does the
+    * ScaleRules.sourceBytes filesystem walk once instead of twice (the
+    * walks returned identical widths — this is redundant planning I/O,
+    * not a correctness issue; round-14 advisory). */
+  private[graft] def ccPairs(spark: SparkSession, sfDir: String,
+      wide: Int): DataFrame = {
     val narrow = spark.sessionState.conf.numShufflePartitions
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
@@ -273,8 +281,10 @@ object Graph {
     * aggregate, no join: labels only ever DECREASE, so the label sum is
     * strictly monotone and fixpoint ⟺ sum unchanged. Returns the
     * checkpointed (node, lbl) relation, edge cache released. */
-  private[graft] def ccLabels(spark: SparkSession, sfDir: String): DataFrame =
-    ccPropagate(ccPairs(spark, sfDir), buildParts(spark, sfDir))
+  private[graft] def ccLabels(spark: SparkSession, sfDir: String): DataFrame = {
+    val wide = buildParts(spark, sfDir)
+    ccPropagate(ccPairs(spark, sfDir, wide), wide)
+  }
 
   /** Min-label propagation fixpoint over an arbitrary SYMMETRIC (a, b)
     * edge relation — the propagation core shared by batch `graph_cc`

@@ -279,7 +279,6 @@ object Sinks {
     graft.streaming.MergeSink.asOf(spark, root, 2).orderBy("o_orderkey")
   }
 
-  /** Range-partitioned file count for the manifest-pruned snapshot. */
   /** Floor on the manifest table's file count (below it the quarter-span
     * predicate can't demonstrate pruning). The ACTUAL count is bytes-scaled
     * — see `manifestFiles`. */

@@ -31,11 +31,18 @@ trait SparkSpec extends AnyFunSuite {
     * gate. Any spec pinning a NEW operator calls this on the operator's
     * output so its schema stays inside the driver-proven dtype family.
     * The Scala set mirrors tools/preverify.py's PROVEN_DTYPES (BIGINT,
-    * BOOLEAN, DATE, DOUBLE, INTEGER, TIMESTAMP, VARCHAR). */
+    * BOOLEAN, DATE, DOUBLE, INTEGER, TIMESTAMP, VARCHAR). TimestampType
+    * (timezone-ADJUSTED) is deliberately NOT in the set even though the
+    * gate names "TIMESTAMP": Spark writes it to parquet as
+    * isAdjustedToUTC=true, which DuckDB reads back as TIMESTAMP WITH
+    * TIME ZONE — outside the gate's proven list. Only TimestampNTZType
+    * round-trips as plain TIMESTAMP (round-14 advisory; every oracle row
+    * that emits a timestamp already uses ts_ntz per the Tables.events
+    * convention). */
   def assertProvenDtypes(df: org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.types._
     val proven: Set[DataType] = Set(LongType, IntegerType, DoubleType,
-      StringType, BooleanType, DateType, TimestampType, TimestampNTZType)
+      StringType, BooleanType, DateType, TimestampNTZType)
     val bad = df.schema.fields.filterNot(f => proven.contains(f.dataType))
     assert(bad.isEmpty,
       "output dtypes outside the driver-proven set (preverify PROVEN_DTYPES): " +

@@ -63,9 +63,12 @@ class Round14OpsSpec extends SparkSpec {
     val li = s"$sf01/lineitem.parquet"
     val bytes = ScaleRules.sourceBytes(spark, li)
     assert(bytes > 0)
-    // bytesScaledCount: floor wins on small sources, ceil(bytes/target) past it
+    // bytesScaledCount: floor wins on small sources, ceil(bytes/target) past
+    // it (target chosen so the round-15 MaxScaledCount clamp stays clear —
+    // saturation itself is pinned in Round15OpsSpec)
     assert(ScaleRules.bytesScaledCount(spark, li, Long.MaxValue, 8) === 8)
-    assert(ScaleRules.bytesScaledCount(spark, li, 1L, 8) === bytes.toInt)
+    assert(ScaleRules.bytesScaledCount(spark, li, 16L, 8) ===
+      math.ceil(bytes.toDouble / 16).toInt)
     // hysteresis: below the gate the SESSION width comes back untouched
     // (oracle-SF plans stay byte-identical)...
     val conf = spark.sessionState.conf.numShufflePartitions
