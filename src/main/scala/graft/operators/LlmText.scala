@@ -431,33 +431,21 @@ object LlmText {
     * propagated (near-dup graphs are sparse; callers add untouched rows
     * back analytically). Returns (id, label) with label = component min. */
   private def connectedComponents(pairs: DataFrame): DataFrame = {
-    // materialize the edge list once — every propagation round joins it, and
-    // without the checkpoint each round re-runs the whole pair pipeline
-    // (and the union would run it twice per round)
-    val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
-      .localCheckpoint()
-    val nodes = edges.select(col("src").as("id")).distinct()
-    var labels = nodes.withColumn("label", col("id")).localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    // No silent early stop: min-label propagation strictly decreases labels
-    // so it always terminates in ≤ diameter rounds; the cap only guards a
-    // logic bug and FAILS LOUDLY instead of returning split components.
-    val maxIter = 1000
-    while (changed > 0 && iter < maxIter) {
-      val nbr = edges.join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
-        .groupBy("src").agg(min("label").as("nbr_min"))
-      val next = labels.join(nbr, labels("id") === nbr("src"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("next_label"))
-        .localCheckpoint()
-      changed = next.filter(col("next_label") < col("label")).count()
-      labels = next.select(col("id"), col("next_label").as("label"))
-      iter += 1
-    }
-    require(changed == 0,
-      s"connectedComponents did not converge within $maxIter rounds — component diameter bug?")
-    labels
+    // Delegate to the engine's one propagation kernel (Graph.ccPropagate —
+    // shared with batch graph_cc and the streaming consolidation since
+    // round 14; this was the last private CC loop). Besides de-duplicating
+    // the algorithm, the kernel is materially lighter per round: it joins a
+    // PERSISTED adjacency (built once) against the node-sized label
+    // relation — 2 exchanges per round — where the old loop re-joined the
+    // raw edge list and rejoined labels twice (~4 exchanges + an extra
+    // node-sized join per round). llm_minhash_dedup_keep's ×100 cost is
+    // pure per-round scheduling floor (round-14 ProfileJobs: zero spill,
+    // no stage over 200 ms), so per-round plan weight IS its scale story.
+    // Symmetrize here: callers pass one row per undirected pair, the
+    // kernel's contract is a symmetric relation. Width 0 = session width
+    // (doc near-dup graphs are node-sparse; no spill-onset wide build).
+    Graph.ccPropagate(pairs.union(pairs.select(col("b"), col("a"))).toDF("a", "b"), 0)
+      .select(col("node").as("id"), col("lbl").as("label"))
   }
 
   def llmDedupCluster(spark: SparkSession, sfDir: String): DataFrame = {

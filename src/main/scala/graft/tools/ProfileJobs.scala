@@ -8,11 +8,17 @@ import scala.collection.mutable
   * FIRST (cold) execution — for finding where a query's one-time cost
   * lives (driver gaps between jobs show up as the difference between the
   * job-time sum and the end-to-end time).
-  * Usage: runMain graft.tools.ProfileJobs <query> [sfDir]
+  * Usage: runMain graft.tools.ProfileJobs <query> [sfDir] [preQ1,preQ2,...]
+  * The optional third arg names queries to run UNPROFILED first, so the
+  * profiled query executes in a session that already holds their caches
+  * (memoized ANN indexes, page-cache state) — the warm-sweep shape, vs
+  * the default cold-session shape (round-15: attributing why the
+  * warm-session ivfpq build sweeps slower than its cold ProfileJobs run).
   */
 object ProfileJobs {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val preQs = if (args.length > 2) args(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq else Seq.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,6 +26,12 @@ object ProfileJobs {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().collect()
+
+    preQs.foreach { q =>
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(q)(spark, sfDir).count()
+      println(f"PRE $q ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows, unprofiled)")
+    }
 
     val jobStart = mutable.Map[Int, Long]()
     val lines = mutable.ListBuffer[String]()
