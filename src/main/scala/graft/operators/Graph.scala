@@ -287,10 +287,15 @@ object Graph {
   }
 
   /** Min-label propagation fixpoint over an arbitrary SYMMETRIC (a, b)
-    * edge relation — the propagation core shared by batch `graph_cc`
-    * (support-≥2 co-purchase pairs, wide build past spill onset) and the
-    * streaming forest consolidation (`StreamOps.ccConsolidate`, which
-    * symmetrizes its node-bounded forest and runs at session width).
+    * edge relation — the engine's ONE connected-components core, shared
+    * by batch `graph_cc` (support-≥2 co-purchase pairs, wide build past
+    * spill onset), the streaming forest consolidation
+    * (`StreamOps.ccConsolidate`, which symmetrizes its node-bounded
+    * forest and runs at session width), and since round 15 the doc
+    * near-dup family (`LlmText.connectedComponents` — the
+    * minhash-keep/dedup-cluster/neardup-split CC, whose ×100 cost is a
+    * scheduling floor, so this kernel's 2-exchange rounds over the
+    * persisted adjacency ARE its scale story).
     * `wide` is the build-stage shuffle width (pass the session width, or
     * 0, for no wide build — see ScaleRules.wideBuildWidth). */
   private[graft] def ccPropagate(pairs: DataFrame, wide: Int): DataFrame = {
