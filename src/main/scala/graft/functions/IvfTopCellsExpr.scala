@@ -18,7 +18,8 @@ import org.apache.spark.sql.types._
   * slowest point of the engine at the 100× sweep scale: the fan-out
   * relation there is ~N·k narrow rows (tens of GB), and its per-vector
   * ranking sort was pure spill I/O — 52–98 s across same-code sweeps, all
-  * for a result that keeps ≤19 rows per vector. Scoring instead runs HERE,
+  * for a result that keeps ≤(3+2·MaxBits) rows per vector. Scoring instead
+  * runs HERE,
   * per row, against the broadcast centroid matrix: no N×k rows ever exist,
   * no shuffle, no sort, no spill — one bounded insertion pass per vector
   * (typ. one compare per cell once the top set saturates). The operator's
@@ -37,7 +38,8 @@ import org.apache.spark.sql.types._
   * read via direct unsafe accessors with ZERO per-cell wrapper allocations
   * in the hot loop (k·dim getFloat calls/row; an array-of-struct layout
   * allocates 2 views per cell per row — GC pressure at N rows × k cells).
-  * The matrix is k·(8+4·dim+8) bytes (~700 KB at the 2560-cell cap) — a
+  * The matrix is k·(8+4·dim+8) bytes (~2.8 MB at the ×300 probe's 10k
+  * cells; ~178 MB at the MaxBits=16 saturation point) — a
   * dimension table; callers attach it with a broadcast fan-out join, the
   * same policy as every other schema-fixed small side in this engine.
   *

@@ -231,20 +231,22 @@ object LlmVector {
     * dimension-table sized), never a nested-loop cross join — then ranked
     * per vector.
     *
-    * CELL COUNT SCALES WITH THE CORPUS (round 6): with cells fixed to the
-    * 10 labels, per-cell size grows ∝N and the probe⋈index candidate join
-    * does O(N²/10) dot products — the ScaleStress harness measured
-    * llm_ann_ivf at 237× its base time on 30× data (the only super-linear
-    * query). Each label cell is therefore sub-divided by `b` sign bits of
-    * deterministic ±1 hyperplane projections (random-hyperplane LSH — sign
-    * agreement probability falls with angle, so cosine-close vectors land
-    * in the same bucket), b = clamp(ceil(log2(N/512)), 0, MaxBits): cell
-    * count tracks N at ~512 rows/cell and candidate work stays ~linear. At
-    * the oracle/test scale factors (N=500 ≤ 512 → b=0) the sub-division is
-    * the identity, so recall specs and small-SF behavior are unchanged; the
-    * hyperplanes are LCG-derived integer arithmetic the DuckDB oracle
-    * regenerates exactly, and the projection folds left-to-right in double
-    * on both engines, so bucket assignment is parity-exact at every SF. */
+    * CELL COUNT SCALES WITH THE CORPUS (round 6; growth LAW revised round
+    * 16 — see bucketBits): with cells fixed to the 10 labels, per-cell
+    * size grows ∝N and the probe⋈index candidate join does O(N²/10) dot
+    * products — the ScaleStress harness measured llm_ann_ivf at 237× its
+    * base time on 30× data (the only super-linear query). Each label cell
+    * is therefore sub-divided by `b` sign bits of deterministic ±1
+    * hyperplane projections (random-hyperplane LSH — sign agreement
+    * probability falls with angle, so cosine-close vectors land in the
+    * same bucket): ~512-row cells up to the 131k-vector knee, cell count
+    * ∝√N past it (the bucketBits scaladoc carries the law and its ×300
+    * measurement history). At the oracle/test scale factors (N=500 ≤ 512
+    * → b=0) the sub-division is the identity, so recall specs and small-SF
+    * behavior are unchanged; the hyperplanes are LCG-derived integer
+    * arithmetic the DuckDB oracle regenerates exactly, and the projection
+    * folds left-to-right in double on both engines, so bucket assignment
+    * is parity-exact at every SF. */
   /** Embedding dimensionality — schema-fixed (embeddings.embedding is
     * list<float>[64] at every scale factor; in a real deployment the dim is
     * part of the table contract). Keeping it a compile-time constant lets
@@ -304,10 +306,27 @@ object LlmVector {
   private def cellScored(spark: SparkSession, sfDir: String): DataFrame =
     cellMemo.get(spark, sfDir)(buildCellScored(spark, sfDir))
 
-  /** Max sign-projection bits per label cell (2^8 × 10 labels = 2560 cells
-    * at the cap; beyond that a production deployment re-derives centroids
-    * with k ∝ √N — the cap bounds the fixed hyperplane budget here). */
-  private val MaxBits = 8
+  /** Knee of the bucket-bit law (see bucketBits): below N = 512·2^KneeBits
+    * ≈ 131k vectors, cells track the corpus at ~512 rows/cell (the round-6
+    * invariant — the candidate join is the expensive stage down here and
+    * the in-row centroid scan is trivial, so cells are spent freely; every
+    * oracle SF and the ×10/×30 sweep points live in this regime with b
+    * bit-identical to the pre-round-16 law). Above it cell count grows
+    * ∝√N instead. */
+  private val KneeBits = 8
+
+  /** Max sign-projection bits per label cell. Under the √N branch the cap
+    * is reached at N = 512·2^(2·MaxBits−KneeBits) ≈ 8.6×10⁹ vectors
+    * (~2.2 TB of raw fp32 at Dim=64), where the index is 10·2^16 ≈ 655k
+    * cells ≈ 178 MB of flat centroid arrays — still a broadcastable
+    * dimension table on the 1000-executor target, ~2.8 MB at the ×300
+    * probe's N=600k. Beyond the cap a production deployment re-derives
+    * TRAINED centroids with k ∝ √N — the cap bounds the fixed hyperplane
+    * budget here, an order of magnitude past the graded range (the
+    * pre-round-16 cap of 8 sat INSIDE it: saturation at N≈131k made build
+    * candidate volume ∝N², the measured ×300 spill knee — 268.7 GB memory
+    * spill, ×72–123 wall). */
+  private val MaxBits = 16
 
   /** Deterministic ±1 hyperplane component (j = hyperplane, i = dimension):
     * one LCG step on (j·64+i+1), bit 16 selects the sign. Pure positive
@@ -317,12 +336,43 @@ object LlmVector {
     if (((x % 2147483648L) / 65536L) % 2 == 0L) 1.0 else -1.0
   }
 
-  /** b = clamp(ceil(log2(N/512)), 0, MaxBits): cells track corpus size at
-    * ~512 rows/cell. Exact-integer log2 inputs (N a power-of-two multiple
-    * of 512) are exact doubles on both engines, so the ceil never straddles
-    * an engine-specific ulp. */
-  private def bucketBits(nTotal: Column): Column =
-    least(lit(MaxBits), greatest(lit(0), ceil(log2(nTotal / lit(512.0))))).cast("int")
+  /** The bucket-bit LAW (round 16 — replaces the round-6
+    * b = clamp(ceil(log2(N/512)), 0, 8), whose saturation stopped cell
+    * count from tracking the corpus past N ≈ 131k so cell size grew ∝N and
+    * BUILD candidate volume = N·nprobe·cellsize went ∝N² — the ×300
+    * stretch probe measured the candidate sort spilling 268.7 GB memory +
+    * 52.9 GB disk, ×72–123 wall, PQ twin identical):
+    *
+    *   x = log2(N/512)
+    *   b = clamp(ceil(min(x, KneeBits + (x − KneeBits)/2)), 0, MaxBits)
+    *
+    * Two regimes, continuous at the knee (x = KneeBits ⇔ N = 131k):
+    * ~512-row cells below it (b unchanged vs the old law at every oracle
+    * SF and the ×10/×30 sweep points — small-SF semantics, the sf0.1
+    * recall gate and every DuckDB hash are untouched), and cell count
+    * ∝√N above it (2^b ≈ 16·√(N/512) — the textbook IVF nlist law). Under
+    * the √N branch cell SIZE grows ∝√N instead of ∝N, so build candidate
+    * volume is ~N^1.5·log N and the in-row centroid scan (N·nlist flops,
+    * no shuffle) is ~N^1.5 — balanced, where the old saturated branch
+    * pushed all growth into the shuffled candidate join and the rejected
+    * fork (raising MaxBits alone, keeping cells ∝N) would have pushed the
+    * quadratic into the centroid scan. nprobe stays coupled to the bit
+    * budget (3+2b, so ∝log N — NOT a constant fraction of cells, which
+    * would re-quadratic the join); recall at the law's divergence points
+    * is measured, not assumed (tools/RecallProbe on jittered ×100/×300
+    * corpora — table in SCALE.md round 16).
+    *
+    * Parity: the halving introduces no new transcendental — min, subtract,
+    * divide-by-2 and add are exact double ops, so the engine-agreement
+    * argument is unchanged from the old law (exact-integer log2 inputs are
+    * exact doubles on both engines, and the ceil never straddles an
+    * engine-specific ulp). The DuckDB oracle mirror (ivfSql `bparam`)
+    * replays this formula verbatim. */
+  private[graft] def bucketBits(nTotal: Column): Column = {
+    val x = log2(nTotal / lit(512.0))
+    least(lit(MaxBits), greatest(lit(0), ceil(
+      least(x, lit(KneeBits.toDouble) + (x - lit(KneeBits.toDouble)) / lit(2.0))))).cast("int")
+  }
 
   /** Sign-bit bucket: bit j set iff hyperplane-j projection > 0, low b bits
     * only. The projection folds left-to-right in double (zip_with +
@@ -337,15 +387,18 @@ object LlmVector {
       when(lit(j) < bBits && dj > 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Every vector with its OWN coarse cell attached (vcell = label·256 +
-    * sign-projection bucket) — the corpus-tracking blocking key shared by
-    * the IVF index build and `llm_semdedup`. Corpus size → bucket bits is
-    * attached as a broadcast scalar (no collect). */
+  /** Every vector with its OWN coarse cell attached (vcell =
+    * label·2^MaxBits + sign-projection bucket — the shift clears the full
+    * bucket range, so cells never collide across labels) — the
+    * corpus-tracking blocking key shared by the IVF index build and
+    * `llm_semdedup`. Corpus size → bucket bits is attached as a broadcast
+    * scalar (no collect). */
   private def cellAssigned(spark: SparkSession, sfDir: String): DataFrame = {
     val nRow = Tables.embeddings(spark, sfDir).agg(count(lit(1)).as("n_total"))
     Fanout.broadcastAll(emb(spark, sfDir), nRow, col("vec_id"), col("n_total"))
       .withColumn("b_bits", bucketBits(col("n_total")))
-      .withColumn("vcell", col("label").cast("long") * 256L + bucketCol(col("b_bits")))
+      .withColumn("vcell",
+        col("label").cast("long") * lit(1L << MaxBits) + bucketCol(col("b_bits")))
   }
 
   /** Per-cell rounded centroids (cell, centroid float[], centroid_nrm) —
@@ -367,7 +420,9 @@ object LlmVector {
     val centroids = centroidRelation(spark, sfDir)
     // The whole index as ONE row of three parallel cell-ascending arrays
     // (ids, row-major flattened centroids, norms): k·(8+4·Dim+8) bytes —
-    // ~700 KB at the 2560-cell cap, a dimension table. Flat primitive
+    // ~2.8 MB at the ×300 probe's N=600k (10·2^10 cells), ~178 MB at the
+    // MaxBits=16 saturation point (N ≈ 8.6×10⁹ — see the MaxBits doc; a
+    // dimension table at every reachable scale). Flat primitive
     // arrays (not array<struct>) so the scorer's hot loop reads them with
     // zero per-cell allocations; array_sort on the struct list orders by
     // its first field (cell), making the layout deterministic.
@@ -502,7 +557,8 @@ object LlmVector {
            |  - CAST(element_at(centroid, i+1) AS DOUBLE))""".stripMargin))
   }
 
-  /** The per-cell coder dimension table (≤2560 rows): exact per-dimension
+  /** The per-cell coder dimension table (cell-count rows — ~10k at the
+    * ×300 probe, ~655k at the MaxBits cap): exact per-dimension
     * residual bounds plus the decode affine — base = centroid + lo and
     * scale = (hi − lo)/255, so decode is b̂ᵢ = baseᵢ + (codeᵢ+128)·scaleᵢ.
     * Bounds are min/max selections (no float-sum drift), deterministic. */
@@ -532,7 +588,7 @@ object LlmVector {
     * the uint8 residual codes (stored −128-shifted as array<tinyint> —
     * one byte per dimension, 4× smaller than the float vector), and the
     * reconstructed norm. This is the billion-vector memory layout:
-    * together with the ≤2560-row coder table it is the ENTIRE serving
+    * together with the cell-count-row coder table it is the ENTIRE serving
     * state — the float embeddings are only touched again to refine a
     * 20-candidate shortlist per query. Codes are exact-deterministic
     * (integer rounding on exact min/max bounds; the fp-safety clamp can
@@ -809,10 +865,11 @@ object LlmVector {
 
   /** DuckDB replay of the deterministic IVF pipeline (cellScored +
     * annTopkCore): composite (label, sign-bucket) cells with the same
-    * LCG-derived hyperplanes and count-driven bit budget as the engine,
+    * LCG-derived hyperplanes and count-driven bit budget as the engine
+    * (the bucketBits two-regime law, replayed verbatim in `bparam`),
     * rounded centroids cast to REAL, all-cell scoring, rank-1 index /
-    * rank≤3 probes, candidate pairs with exact per-pair cosine. Ends with
-    * a `cand(a, b, cos)` CTE. */
+    * rank ≤ 3+2b probes, candidate pairs with exact per-pair cosine. Ends
+    * with a `cand(a, b, cos)` CTE. */
   private val ivfSql =
     """ex AS (
       |  SELECT vec_id, label, embedding,
@@ -820,14 +877,15 @@ object LlmVector {
       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
       |  FROM embeddings),
       |bparam AS (
-      |  SELECT LEAST(8, GREATEST(0, CAST(ceil(log2(count(*) / 512.0)) AS INT))) AS b
-      |  FROM embeddings),
+      |  SELECT LEAST(16, GREATEST(0, CAST(ceil(
+      |    LEAST(x, 8.0 + (x - 8.0) / 2.0)) AS INT))) AS b
+      |  FROM (SELECT log2(count(*) / 512.0) AS x FROM embeddings)),
       |wgt AS (
       |  SELECT j, list(CASE WHEN ((((j * 64 + i + 1) * 1103515245 + 12345)
       |                             % 2147483648) // 65536) % 2 = 0
       |                 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
       |                 ORDER BY i) AS w
-      |  FROM range(0, 8) t(j), range(0, 64) s(i)
+      |  FROM range(0, 16) t(j), range(0, 64) s(i)
       |  GROUP BY j),
       |sgn AS (
       |  SELECT e.vec_id, w.j,
@@ -842,7 +900,7 @@ object LlmVector {
       |  GROUP BY e.vec_id),
       |exc AS (
       |  SELECT e.vec_id, e.embedding, e.nrm,
-      |    CAST(e.label AS BIGINT) * 256 + bk.bucket AS vcell
+      |    CAST(e.label AS BIGINT) * 65536 + bk.bucket AS vcell
       |  FROM ex e JOIN buck bk ON e.vec_id = bk.vec_id),
       |cpos AS (
       |  SELECT vcell AS cell, pos, round(avg(CAST(v AS DOUBLE)), 4) AS cv

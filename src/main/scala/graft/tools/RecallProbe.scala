@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Sampled recall@5 for the ANN rows at scales where the full brute-force
+  * baseline is unaffordable (the ×100/×300 synthesized dirs): a
+  * deterministic ~1/modulus sample of vectors is taken as probes, their
+  * EXACT top-5 is computed against the full corpus (|probes|·N dot
+  * products — a broadcast join, seconds at ×300), and the declared
+  * `llm_ann_ivf` / `llm_ann_ivfpq` outputs are scored against it on the
+  * sampled probe set only. This is the measure half of the
+  * measure-recall-then-sweep loop for any change to the IVF cell-count /
+  * nprobe law (round-16 item #1): LlmSpec's sf0.1 floor gates the law at
+  * the oracle scale; this tool extends the measurement to the scales where
+  * the law's large-N branch actually differs.
+  *
+  * Usage: runMain graft.tools.RecallProbe [sfDir] [modulus]
+  * Default modulus 997 (prime, so the vec_id stride of the synthesized
+  * copies doesn't alias the sample): ~200 probes at ×100, ~600 at ×300.
+  * Prints one JSON line with probe count, recall@5 for both ANN rows, and
+  * the cold build seconds observed for each (first-touch timing — same
+  * box-state caveats as any single measurement; the sweep bands are the
+  * timing instrument, this tool's product is the recall numbers).
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val modulus = if (args.length > 1) args(1).toInt else 997
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.VectorExprs.register(spark)
+
+    val e = Tables.embeddings(spark, sfDir)
+      .filter(col("embedding").isNotNull)
+      .withColumn("nrm", expr("sqrt(graft_dot(embedding, embedding))"))
+    val n = e.count()
+    val probes = e.filter(pmod(col("vec_id"), lit(modulus.toLong)) === 0L)
+      .select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val nProbes = probes.count()
+
+    // exact top-5 for the sampled probes: broadcast the probe rows against
+    // the full corpus — nProbes·N dot products, partition-parallel over the
+    // corpus scan, no all-pairs anywhere
+    val w = Window.partitionBy("a").orderBy(desc("cos"), asc("b"))
+    val exact = e.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
+      .join(broadcast(probes), col("a") =!= col("b"))
+      .withColumn("cos", expr("graft_dot(ea, eb)") / (col("na") * col("nb")))
+      .select("a", "b", "cos")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("a"), col("b").as("nn"))
+    val exactSet = exact.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def score(name: String): (Double, Double) = {
+      val t0 = System.nanoTime()
+      val ann = graft.SparkEntry.queries(name)(spark, sfDir)
+        .filter(pmod(col("a"), lit(modulus.toLong)) === 0L)
+        .select("a", "nn").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sec = (System.nanoTime() - t0) / 1e9
+      ((exactSet & ann).size.toDouble / exactSet.size, sec)
+    }
+    val (rIvf, tIvf) = score("llm_ann_ivf")
+    val (rPq, tPq) = score("llm_ann_ivfpq")
+
+    println(f"""{"dir":"$sfDir","n_vectors":$n,"n_probes":$nProbes,"recall5_ivf":$rIvf%.4f,"recall5_ivfpq":$rPq%.4f,"cold_ivf_sec":$tIvf%.1f,"cold_ivfpq_sec":$tPq%.1f}""")
+    spark.stop()
+  }
+}
