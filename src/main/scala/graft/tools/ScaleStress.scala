@@ -19,7 +19,13 @@ import graft.{SparkEntry, Tables}
   *     near-dup pair graph;
   *   - nation/region stay fixed (schema-fixed dimensions — they do NOT
   *     scale with data volume, which is what keeps them broadcastable);
-  *   - events keep their time range: more events per window, same horizon.
+  *   - events keep their time range: more events per window, same horizon;
+  *   - embeddings copies are per-copy ISOMETRIES of the base vectors
+  *     (dimension permutation + sign flips — see the synthesize entry), so
+  *     the vector corpus grows as N× neighborhood-blocks of the base size
+  *     rather than N-families of byte-identical twins that no quantizer
+  *     could ever separate (round 16 — the clone corpus made the ann
+  *     build's candidate volume quadratic UNDER ANY cell-count law).
   *
   * Then times the headline queries (min of 2 runs, warm session — the Bench
   * protocol) at 1× / 10× / 30× and prints one JSON line per scale plus a
@@ -385,7 +391,39 @@ object ScaleStress {
           .withColumn("text", concat_ws(" ", col("text"), lit(s"shard$i")))
           // keep the stored length consistent with the marker-extended text
           .withColumn("n_chars", length(col("text")).cast("long"))),
-      "embeddings" -> copies(t("embeddings"), (d, i) => shiftCols(d, i, "vec_id")),
+      // Copy blocks are ISOMETRIC images of the base corpus, not identical
+      // clones (round 16). Key-shifted exact copies violate this harness's
+      // own growth principle (stated above for documents/customer names):
+      // every base vector acquired a family of `mult` byte-identical twins,
+      // and identical embeddings land in the same IVF cell under ANY
+      // sign-projection law — so the ann BUILD's candidate volume grew
+      // ∝ N·nprobe·mult ∝ N², a property of the degenerate corpus that no
+      // cell-count law can fix (round 16 measured the √N-law build at
+      // ×130 on the clone corpus with the SAME 240.9 GB candidate-sort
+      // spill signature as the round-15 saturating law — the knee never
+      // belonged to the bit-budget clamp alone). Copy i > 0 instead
+      // applies a deterministic isometry: a dimension permutation
+      // π(d) = (a·d + b) mod 64 (a odd ⇒ bijection) composed with
+      // per-(copy, dim) sign flips. Isometries preserve norms and ALL
+      // pairwise cosines inside a block, so each block reproduces the
+      // base corpus's neighborhood/near-dup density exactly, while
+      // cross-block cosines scramble to ~0 (new content, the documents
+      // model: N× blocks of the base size). Integer-deterministic,
+      // rerun-stable, no RNG.
+      "embeddings" -> copies(t("embeddings"), { (d, i) =>
+        val shifted = shiftCols(d, i, "vec_id")
+        if (i == 0) shifted
+        else {
+          val a = 2 * ((i * 7919) % 32) + 1
+          val b = (i * 104729) % 64
+          val s = (i.toLong * 2654435761L) % 65536L
+          shifted.withColumn("embedding", expr(
+            s"""transform(sequence(0, 63), d -> CAST(
+               |  element_at(embedding, (($a * d + $b) % 64) + 1) *
+               |  (CASE WHEN ($s + d * 40503) % 65536 < 32768
+               |        THEN 1.0D ELSE -1.0D END) AS FLOAT))""".stripMargin))
+        }
+      }),
     )
     synth.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
