@@ -341,7 +341,18 @@ object LlmVector {
     * count from tracking the corpus past N ≈ 131k so cell size grew ∝N and
     * BUILD candidate volume = N·nprobe·cellsize went ∝N² — the ×300
     * stretch probe measured the candidate sort spilling 268.7 GB memory +
-    * 52.9 GB disk, ×72–123 wall, PQ twin identical):
+    * 52.9 GB disk, ×72–123 wall, PQ twin identical. Round-16 completion
+    * of that attribution: the measured ×300 knee was DOMINATED by the
+    * sweep corpus itself — ScaleStress then grew embeddings as exact
+    * key-shifted clones, giving every vector a byte-identical family of
+    * size ∝N that no sign-projection law can split (this law still ran
+    * ×130 with the same 240.9 GB spill signature on the clone corpus);
+    * with the harness fixed to isometric-block growth the same build
+    * measures ×20–26 at ×300, candidate sort spill-free. The saturation
+    * defect was real — cells must track the corpus — but heavy exact/
+    * near-exact duplication is a DATA property whose answer is dedup
+    * before indexing (llm_dedup_exact / llm_semdedup), not a quantizer
+    * law):
     *
     *   x = log2(N/512)
     *   b = clamp(ceil(min(x, KneeBits + (x − KneeBits)/2)), 0, MaxBits)
@@ -359,8 +370,17 @@ object LlmVector {
     * quadratic into the centroid scan. nprobe stays coupled to the bit
     * budget (3+2b, so ∝log N — NOT a constant fraction of cells, which
     * would re-quadratic the join); recall at the law's divergence points
-    * is measured, not assumed (tools/RecallProbe on jittered ×100/×300
-    * corpora — table in SCALE.md round 16).
+    * is measured, not assumed (tools/RecallProbe, both growth regimes —
+    * table in SCALE.md round 16): near-dup-FAMILY corpora hold recall@5
+    * = 1.0 at ×100/×300 (the quantizer keeps 0.98-cosine families
+    * together — the regime semantic dedup rides), while NEW-CONTENT
+    * corpora decay to 0.17/0.15 as the log-growth probe budget covers a
+    * shrinking cell fraction — the declared trade of a data-oblivious
+    * quantizer at sub-quadratic build cost. Holding new-content recall
+    * flat requires a constant SCANNED FRACTION (quadratic build) or
+    * data-adaptive TRAINED centroids (the production fork named at
+    * MaxBits); the sf0.1 contract (recall@5 ≥ 0.4, LlmSpec) is the
+    * gated surface and is unchanged.
     *
     * Parity: the halving introduces no new transcendental — min, subtract,
     * divide-by-2 and add are exact double ops, so the engine-agreement

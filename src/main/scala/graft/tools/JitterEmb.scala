@@ -3,16 +3,20 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Writes a jittered ×mult embeddings table for recall measurement.
+/** Writes a jittered ×mult embeddings table for recall measurement —
+  * the NEAR-DUP-FAMILY regime probe.
   *
-  * ScaleStress's key-remapped copies are EXACT duplicates of the base
-  * vectors, which makes large-N recall measurement vacuous: identical
-  * embeddings produce identical sign-projections, so every copy lands in
-  * its original's IVF cell under ANY bucket-bit law and sampled recall@5
-  * reads 1.0 regardless of the law (measured round 16, ×100, both laws).
-  * Timing sweeps are unaffected (the candidate-join volume is the same),
-  * but a recall A/B needs DISTINCT vectors whose neighborhoods can
-  * actually be split by a finer quantizer.
+  * ScaleStress's pre-round-16 key-remapped copies were EXACT duplicates
+  * of the base vectors, which made large-N recall measurement vacuous:
+  * identical embeddings produce identical sign-projections, so every
+  * copy lands in its original's IVF cell under ANY bucket-bit law and
+  * sampled recall@5 reads 1.0 regardless of the law (measured round 16,
+  * ×100, both laws). ScaleStress now grows embeddings as per-copy
+  * ISOMETRIES (new content — the realistic growth model), so recall on
+  * its dirs measures the new-content regime; THIS tool keeps measuring
+  * the complementary regime, a corpus whose growth is ×mult near-dup
+  * families (the shape semantic dedup exists for) — the two regimes'
+  * round-16 numbers are tabled in SCALE.md.
   *
   * This tool writes copy i of each base vector with a deterministic
   * per-(vector, copy, dimension) perturbation: e'_d = e_d·(1 + rel·u)
