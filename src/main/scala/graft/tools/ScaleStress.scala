@@ -336,6 +336,27 @@ object ScaleStress {
     spark.stop()
   }
 
+  /** Copy i's embedding isometry (the round-16 instrument fix, see the
+    * synthesize entry's comment): identity at i = 0; otherwise a dimension
+    * permutation π(d) = (a·d + b) mod 64 (a odd ⇒ bijection) composed with
+    * per-(copy, dim) sign flips. Package-visible so ScaleStressSpec can
+    * pin the invariants that make the instrument honest — copy-0 identity,
+    * norm preservation, within-block cosine preservation (isometry), and
+    * cross-block decorrelation — against a future edit quietly
+    * reintroducing clone growth. */
+  private[tools] def isometricCopy(d: DataFrame, i: Int): DataFrame =
+    if (i == 0) d
+    else {
+      val a = 2 * ((i * 7919) % 32) + 1
+      val b = (i * 104729) % 64
+      val s = (i.toLong * 2654435761L) % 65536L
+      d.withColumn("embedding", expr(
+        s"""transform(sequence(0, 63), d -> CAST(
+           |  element_at(embedding, (($a * d + $b) % 64) + 1) *
+           |  (CASE WHEN ($s + d * 40503) % 65536 < 32768
+           |        THEN 1.0D ELSE -1.0D END) AS FLOAT))""".stripMargin))
+    }
+
   /** Writes the 10-table synthesized dataset at `mult`× into outDir
     * (skipped if already present from a previous run). */
   private def synthesize(spark: SparkSession, baseDir: String, outDir: String, mult: Int): Unit = {
@@ -410,20 +431,8 @@ object ScaleStress {
       // cross-block cosines scramble to ~0 (new content, the documents
       // model: N× blocks of the base size). Integer-deterministic,
       // rerun-stable, no RNG.
-      "embeddings" -> copies(t("embeddings"), { (d, i) =>
-        val shifted = shiftCols(d, i, "vec_id")
-        if (i == 0) shifted
-        else {
-          val a = 2 * ((i * 7919) % 32) + 1
-          val b = (i * 104729) % 64
-          val s = (i.toLong * 2654435761L) % 65536L
-          shifted.withColumn("embedding", expr(
-            s"""transform(sequence(0, 63), d -> CAST(
-               |  element_at(embedding, (($a * d + $b) % 64) + 1) *
-               |  (CASE WHEN ($s + d * 40503) % 65536 < 32768
-               |        THEN 1.0D ELSE -1.0D END) AS FLOAT))""".stripMargin))
-        }
-      }),
+      "embeddings" -> copies(t("embeddings"),
+        (d, i) => isometricCopy(shiftCols(d, i, "vec_id"), i)),
     )
     synth.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
