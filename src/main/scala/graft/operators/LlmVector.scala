@@ -255,7 +255,7 @@ object LlmVector {
     * sort → transform pipeline: same values (avg partials are (sum, count)
     * pairs either way), 2 fewer shuffles, and ~half the one-time codegen
     * cost that dominated this query's bench time. */
-  private val Dim = 64
+  private[graft] val Dim = 64
 
   /** Cache lifecycle: one entry per (session, sfDir), built lazily and held
     * for the LIFETIME OF THE SESSION — the intended beneficiary is the
@@ -394,6 +394,77 @@ object LlmVector {
       least(x, lit(KneeBits.toDouble) + (x - lit(KneeBits.toDouble)) / lit(2.0))))).cast("int")
   }
 
+  /** Distinct labels in the embeddings corpus (0–9 at every SF and in
+    * every synthesized sweep dir — labels are a schema-fixed dimension
+    * like nation/region). Total cell count is NumLabels·2^b; only the
+    * frac probe-law anchor needs the product. */
+  private val NumLabels = 10
+
+  /** The probe-budget LAW — a measurement-only knob (round 17, the r16
+    * verdict's #1 item: measure the frontier before moving the law).
+    * Unset, the default branch returns the IDENTICAL expression the
+    * engine shipped with since round 6 (nprobe = 3 + 2b, ∝log N — the
+    * law the DuckDB oracle mirror replays), so every oracle row, plan
+    * and hash is unchanged. tools/RecallProbe sets
+    * `spark.graft.ann.probeLaw` to measure the alternatives at the
+    * law's large-N divergence points:
+    *   - "sqrt:<c>"  nprobe = 3 + c·2^ceil(b/2) — ∝√cells, candidate
+    *     volume ~N^1.25 (the unexplored middle point between the
+    *     shipped N·log and the quadratic constant-fraction laws);
+    *   - "frac:<k>"  nprobe = max(3+2b, ceil(NumLabels·2^b / k)) — a
+    *     constant scanned fraction 1/k of all cells, the upper anchor
+    *     (this is the quadratic-build corner; only ever swept, never
+    *     shipped).
+    * Any law change graduates through the r16 discipline: oracle mirror
+    * + value-pin spec move together, 204/204 at all three SFs, LlmSpec's
+    * sf0.1 recall floor holds. */
+  private[graft] def nprobeCol(spark: SparkSession, bBits: Column): Column =
+    spark.conf.get("spark.graft.ann.probeLaw", "log") match {
+      case "log" => lit(3) + lit(2) * bBits
+      case s if s.startsWith("sqrt:") =>
+        // pow(2, ·) is exact in double through the b ≤ 16 clamp range
+        lit(3) + lit(s.stripPrefix("sqrt:").toInt) *
+          pow(lit(2.0), floor((bBits + lit(1)) / lit(2.0))).cast("int")
+      case s if s.startsWith("frac:") =>
+        val k = s.stripPrefix("frac:").toInt
+        greatest(lit(3) + lit(2) * bBits,
+          ceil(lit(NumLabels.toDouble) * pow(lit(2.0), bBits) / lit(k.toDouble)).cast("int"))
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.ann.probeLaw '$other' — expected log | sqrt:<c> | frac:<k>")
+    }
+
+  /** Driver-side scalar mirror of bucketBits — the probe-law sweep sizes
+    * the rank cap it must request from N before any job runs.
+    * Round17OpsSpec pins it value-by-value against the Column law so the
+    * two cannot drift. */
+  private[graft] def bucketBitsScalar(n: Long): Int = {
+    val x = math.log(n / 512.0) / math.log(2.0)
+    math.min(MaxBits, math.max(0,
+      math.ceil(math.min(x, KneeBits + (x - KneeBits) / 2.0)).toInt))
+  }
+
+  /** Driver-side scalar mirror of nprobeCol for a law string at bit
+    * budget b — RecallProbe reports the budget actually probed and sizes
+    * maxRank with it. Spec-pinned against the Column form. */
+  private[graft] def nprobeScalar(law: String, b: Int): Int = law match {
+    case "log" => 3 + 2 * b
+    case s if s.startsWith("sqrt:") =>
+      3 + s.stripPrefix("sqrt:").toInt * (1 << ((b + 1) / 2))
+    case s if s.startsWith("frac:") =>
+      math.max(3 + 2 * b,
+        math.ceil(NumLabels.toDouble * (1L << b) / s.stripPrefix("frac:").toInt).toInt)
+    case other => throw new IllegalArgumentException(
+      s"probeLaw '$other' — expected log | sqrt:<c> | frac:<k>")
+  }
+
+  /** Emit cap of the cached per-vector cell ranking (the
+    * graft_ivf_topcells limit). The default covers the shipped log law
+    * at its MaxBits ceiling; a probe-law sweep raises
+    * `spark.graft.ann.maxRank` alongside the law so the cache holds at
+    * least nprobe ranks (RecallProbe computes both from N). */
+  private def maxRank(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.ann.maxRank", (3 + 2 * MaxBits).toString).toInt
+
   /** Sign-bit bucket: bit j set iff hyperplane-j projection > 0, low b bits
     * only. The projection folds left-to-right in double (zip_with +
     * aggregate), matching DuckDB's list_aggregate('sum') fold, so the sign
@@ -483,7 +554,7 @@ object LlmVector {
           .repartition(parts, col("vec_id")),
         matrix, col("vec_id"), size(col("cells")))
       .withColumn("tc", explode(expr(
-        s"graft_ivf_topcells(embedding, nrm, cells, cflat, cnrms, ${3 + 2 * MaxBits})")))
+        s"graft_ivf_topcells(embedding, nrm, cells, cflat, cnrms, ${maxRank(spark)})")))
       .select(col("vec_id"), col("tc.cell").as("cell"),
         col("tc.dist2cell").as("dist2cell"), col("tc.cell_rank").as("cell_rank"))
       .cache()
@@ -519,7 +590,7 @@ object LlmVector {
     // cells), so total work grows ~N·log N — the textbook IVF knob.
     val nRow = Tables.embeddings(spark, sfDir).agg(count(lit(1)).as("n_total"))
     val probes = Fanout.broadcastAll(ranked, nRow, col("vec_id"), col("n_total"))
-      .filter(col("cell_rank") <= lit(3) + lit(2) * bucketBits(col("n_total")))
+      .filter(col("cell_rank") <= nprobeCol(spark, bucketBits(col("n_total"))))
       .join(vecs, "vec_id")
       .select(col("vec_id").as("a"), col("cell"),
         col("embedding").as("ea"), col("nrm").as("na"))
@@ -658,7 +729,7 @@ object LlmVector {
     val codes = pqIndex(spark, sfDir)
     val nRow = Tables.embeddings(spark, sfDir).agg(count(lit(1)).as("n_total"))
     val probes = Fanout.broadcastAll(ranked, nRow, col("vec_id"), col("n_total"))
-      .filter(col("cell_rank") <= lit(3) + lit(2) * bucketBits(col("n_total")))
+      .filter(col("cell_rank") <= nprobeCol(spark, bucketBits(col("n_total"))))
       .join(emb(spark, sfDir).select("vec_id", "embedding", "nrm"), "vec_id")
       .select(col("vec_id").as("a"), col("cell"),
         col("embedding").as("ea"), col("nrm").as("na"))

@@ -17,19 +17,41 @@ import graft.Tables
   * the oracle scale; this tool extends the measurement to the scales where
   * the law's large-N branch actually differs.
   *
-  * Usage: runMain graft.tools.RecallProbe [sfDir] [modulus]
-  * Default modulus 997 (prime, so the vec_id stride of the synthesized
-  * copies doesn't alias the sample): ~200 probes at ×100, ~600 at ×300.
-  * Prints one JSON line with probe count, recall@5 for both ANN rows, and
-  * the cold build seconds observed for each (first-touch timing — same
-  * box-state caveats as any single measurement; the sweep bands are the
-  * timing instrument, this tool's product is the recall numbers).
+  * Round 17 adds the probe-BUDGET frontier sweep: the `law` argument sets
+  * `spark.graft.ann.probeLaw` (and the matching
+  * `spark.graft.ann.maxRank` cap, computed from N via the spec-pinned
+  * scalar mirrors) before any query builds, so one invocation measures one
+  * (corpus, law) point — one law per JVM, per the sweep-recycling
+  * discipline (the r16 OOM'd-sweep lesson: ~16k stages in one JVM
+  * contaminated a published band).
+  *
+  * Usage: runMain graft.tools.RecallProbe [sfDir] [modulus] [law] [which]
+  *   modulus — probe sampling stride, default 997 (prime, so the vec_id
+  *     stride of the synthesized copies doesn't alias the sample):
+  *     ~200 probes at ×100, ~600 at ×300.
+  *   law — log (default, the shipped law) | sqrt:<c> | frac:<k>
+  *     (see LlmVector.nprobeCol).
+  *   which — ivf (default: the frontier's recall is identical for pq —
+  *     both score the same candidate cells, measured in SCALE.md r16) |
+  *     both (adds the ivfpq row).
+  * Prints one JSON line with the law, bit budget, nprobe, probe count,
+  * recall@5 and the cold build seconds observed (first-touch timing —
+  * same box-state caveats as any single measurement; the sweep bands are
+  * the timing instrument, this tool's product is the recall numbers).
   */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val modulus = if (args.length > 1) args(1).toInt else 997
+    val law = if (args.length > 2) args(2) else "log"
+    val which = if (args.length > 3) args(3) else "ivf"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    // Size the law's knobs from N BEFORE the session exists: a cheap
+    // metadata-only count through a throwaway context would still be a
+    // Spark job, so read the row count from the parquet footers via the
+    // same session and set the conf immediately after — the first ANN
+    // plan is built lazily by SparkEntry.queries below, long after.
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -41,6 +63,11 @@ object RecallProbe {
       .filter(col("embedding").isNotNull)
       .withColumn("nrm", expr("sqrt(graft_dot(embedding, embedding))"))
     val n = e.count()
+    val b = graft.operators.LlmVector.bucketBitsScalar(n)
+    val nprobe = graft.operators.LlmVector.nprobeScalar(law, b)
+    spark.conf.set("spark.graft.ann.probeLaw", law)
+    spark.conf.set("spark.graft.ann.maxRank", math.max(35, nprobe).toString)
+
     val probes = e.filter(pmod(col("vec_id"), lit(modulus.toLong)) === 0L)
       .select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
     val nProbes = probes.count()
@@ -67,9 +94,12 @@ object RecallProbe {
       ((exactSet & ann).size.toDouble / exactSet.size, sec)
     }
     val (rIvf, tIvf) = score("llm_ann_ivf")
-    val (rPq, tPq) = score("llm_ann_ivfpq")
+    val pqField = if (which == "both") {
+      val (rPq, tPq) = score("llm_ann_ivfpq")
+      f""","recall5_ivfpq":$rPq%.4f,"cold_ivfpq_sec":$tPq%.1f"""
+    } else ""
 
-    println(f"""{"dir":"$sfDir","n_vectors":$n,"n_probes":$nProbes,"recall5_ivf":$rIvf%.4f,"recall5_ivfpq":$rPq%.4f,"cold_ivf_sec":$tIvf%.1f,"cold_ivfpq_sec":$tPq%.1f}""")
+    println(f"""{"dir":"$sfDir","law":"$law","b":$b,"nprobe":$nprobe,"n_vectors":$n,"n_probes":$nProbes,"recall5_ivf":$rIvf%.4f,"cold_ivf_sec":$tIvf%.1f$pqField}""")
     spark.stop()
   }
 }

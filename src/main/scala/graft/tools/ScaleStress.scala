@@ -336,10 +336,30 @@ object ScaleStress {
     spark.stop()
   }
 
+  /** Affine permutation parameters (a, b) of copy i's isometry. (i·1337
+    * mod 2048) is a bijection on 11 bits (1337 odd), split into the 32 odd
+    * multipliers × 64 offsets of the affine family π(d) = (a·d + b) mod 64
+    * — so no two copies i ≠ j within 2048 share a permutation. The
+    * pre-round-17 scheme (a from i mod 32, b from i mod 64) was periodic:
+    * copies 64 apart shared one permutation and differed only by
+    * fixed-offset sign vectors, a structured cross-block correlation
+    * (ADVICE r16). Package-visible so the spec can pin distinctness. */
+  private[tools] def permParams(i: Int): (Int, Int) = {
+    val perm = (i * 1337) & 2047
+    (2 * (perm >>> 6) + 1, perm & 63)
+  }
+
   /** Copy i's embedding isometry (the round-16 instrument fix, see the
     * synthesize entry's comment): identity at i = 0; otherwise a dimension
-    * permutation π(d) = (a·d + b) mod 64 (a odd ⇒ bijection) composed with
-    * per-(copy, dim) sign flips. Package-visible so ScaleStressSpec can
+    * permutation π(d) = (a·d + b) mod Dim (a odd ⇒ bijection mod a power
+    * of two; distinct per copy — see permParams) composed with
+    * per-(copy, dim) murmur-hashed sign flips (hash(i, d) — full-width
+    * avalanche, so even hypothetical permutation collisions beyond 2048
+    * copies would meet independent sign patterns, never the fixed-offset
+    * linear structure ADVICE r16 flagged). The dimension is pinned to
+    * LlmVector.Dim with a loud raise_error guard: a corpus with a
+    * different dim fails instead of silently reading wrong elements
+    * (ADVICE r16, third item). Package-visible so ScaleStressSpec can
     * pin the invariants that make the instrument honest — copy-0 identity,
     * norm preservation, within-block cosine preservation (isometry), and
     * cross-block decorrelation — against a future edit quietly
@@ -347,23 +367,46 @@ object ScaleStress {
   private[tools] def isometricCopy(d: DataFrame, i: Int): DataFrame =
     if (i == 0) d
     else {
-      val a = 2 * ((i * 7919) % 32) + 1
-      val b = (i * 104729) % 64
-      val s = (i.toLong * 2654435761L) % 65536L
+      val dim = graft.operators.LlmVector.Dim
+      require(dim == 64, s"permParams' 11-bit split is sized for dim 64, got $dim")
+      val (a, b) = permParams(i)
       d.withColumn("embedding", expr(
-        s"""transform(sequence(0, 63), d -> CAST(
-           |  element_at(embedding, (($a * d + $b) % 64) + 1) *
-           |  (CASE WHEN ($s + d * 40503) % 65536 < 32768
-           |        THEN 1.0D ELSE -1.0D END) AS FLOAT))""".stripMargin))
+        s"""CASE WHEN embedding IS NULL THEN embedding
+           |WHEN size(embedding) != $dim THEN raise_error(concat(
+           |  'isometricCopy: embedding dim ', size(embedding), ' != $dim'))
+           |ELSE transform(sequence(0, ${dim - 1}), d -> CAST(
+           |  element_at(embedding, (($a * d + $b) % $dim) + 1) *
+           |  (CASE WHEN pmod(hash($i, d), 2) = 0
+           |        THEN 1.0D ELSE -1.0D END) AS FLOAT))
+           |END""".stripMargin))
     }
 
+  /** Synth-schema version, written INTO the done marker and compared on
+    * reuse: bump it whenever synthesize()'s output would differ for the
+    * same inputs, so a stale dir regenerates instead of being silently
+    * reused under the new label (ADVICE r16: a version-blind marker would
+    * have re-measured a pre-isometric clone-growth dir while reporting
+    * the numbers as isometric-regime). v3 = per-copy-distinct hash
+    * permutations + murmur sign flips. */
+  private val SynthVersion = "v3-isometric-hashperm"
+
   /** Writes the 10-table synthesized dataset at `mult`× into outDir
-    * (skipped if already present from a previous run). */
+    * (skipped only if a previous run left a marker with the SAME synth
+    * version). */
   private def synthesize(spark: SparkSession, baseDir: String, outDir: String, mult: Int): Unit = {
-    if (new java.io.File(s"$outDir/_SYNTH_DONE").exists()) {
-      System.err.println(s"[scale] reusing $outDir")
+    val marker = new java.io.File(s"$outDir/_SYNTH_DONE")
+    val markerVersion =
+      if (marker.exists())
+        scala.util.Try(new String(
+          java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim).getOrElse("")
+      else ""
+    if (markerVersion == SynthVersion) {
+      System.err.println(s"[scale] reusing $outDir ($SynthVersion)")
       return
     }
+    if (marker.exists())
+      System.err.println(
+        s"[scale] $outDir is synth version '$markerVersion' != '$SynthVersion' — regenerating")
     System.err.println(s"[scale] synthesizing ${mult}x into $outDir")
     def copies(df: DataFrame, remap: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until mult).map(i => remap(df, i)).reduce(_ unionByName _)
@@ -437,6 +480,6 @@ object ScaleStress {
     synth.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     }
-    new java.io.File(s"$outDir/_SYNTH_DONE").createNewFile(): Unit
+    java.nio.file.Files.write(marker.toPath, SynthVersion.getBytes("UTF-8")): Unit
   }
 }

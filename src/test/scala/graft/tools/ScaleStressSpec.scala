@@ -78,6 +78,48 @@ class ScaleStressSpec extends SparkSpec {
     assert(maxAbs < 0.9, s"max cross-block |cos| $maxAbs — a copy is a near-dup of its original")
   }
 
+  test("copies 64 apart decorrelate (the pre-r17 periodic scheme shared their permutation)") {
+    // Under the round-16 parameters a and b repeated every 64 copies, so
+    // blocks {i, i+64, ...} shared one permutation and differed only by
+    // FIXED-OFFSET sign vectors — a structured cross-block correlation
+    // (ADVICE r16 measured a deterministic cosine ≈ −0.69 between such
+    // blocks). permParams now draws a distinct permutation per copy and
+    // the sign flips are murmur-hashed per (copy, dim); this pins the
+    // fixed periodic pair 7 vs 71 to the same decorrelation bar the
+    // base-vs-copy test uses.
+    val c7 = ScaleStress.isometricCopy(base, 7).select(col("vec_id"), col("embedding").as("ea"))
+    val c71 = ScaleStress.isometricCopy(base, 71).select(col("vec_id"), col("embedding").as("eb"))
+    val cross = c7.join(c71, "vec_id").selectExpr(
+      """abs(aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * y), 0D,
+        |  (acc, x) -> acc + x)
+        | / (sqrt(aggregate(ea, 0D, (a, x) -> a + CAST(x AS DOUBLE) * x))
+        |  * sqrt(aggregate(eb, 0D, (a, x) -> a + CAST(x AS DOUBLE) * x)))) AS c""".stripMargin)
+    val meanAbs = cross.selectExpr("avg(c)").head().getDouble(0)
+    val maxAbs = cross.selectExpr("max(c)").head().getDouble(0)
+    assert(meanAbs < 0.2, s"mean |cos| $meanAbs between copies 64 apart — periodic correlation is back")
+    assert(maxAbs < 0.9, s"max |cos| $maxAbs between copies 64 apart — a structured collision survives")
+  }
+
+  test("no two copies within 2048 share a permutation") {
+    val seen = (1 to 2048).map(ScaleStress.permParams)
+    assert(seen.distinct.size === seen.size,
+      "permParams repeats a permutation inside the 2048-copy window")
+    seen.foreach { case (a, b) =>
+      assert(a % 2 === 1 && a >= 1 && a <= 63, s"multiplier $a not an odd residue mod 64")
+      assert(b >= 0 && b <= 63, s"offset $b out of range")
+    }
+  }
+
+  test("isometricCopy fails loudly on a corpus whose dim is not LlmVector.Dim") {
+    val bad = spark.sql("SELECT 1L AS vec_id, array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS embedding")
+    val e = intercept[Exception] {
+      ScaleStress.isometricCopy(bad, 3).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("!= 64")), s"expected a dim-mismatch raise_error, got: $e")
+  }
+
   test("distinct copies get distinct isometries (no two blocks are clones of each other)") {
     // copies 7 and 8 of the SAME base rows must not be equal to each other
     val c7 = ScaleStress.isometricCopy(base, 7).withColumnRenamed("embedding", "e7")

@@ -41,10 +41,24 @@ def parse(path):
             continue
         d = json.JSONDecoder().raw_decode(line[i:])[0]
         if "queries" in d:
-            runs[d["scale"]] = d["queries"]
-            totals[d["scale"]] = d["total_sec"]
-            scale_order.append(d["scale"])
-            skipped[d["scale"]] = set(d.get("skipped", []))
+            sc = d["scale"]
+            if sc in runs:
+                # Per-scale-point JVM recycling (tools/sweep.sh, round 17)
+                # re-runs x1 in every fresh JVM, so one log can carry the
+                # same scale several times: merge repeats by per-query min
+                # (the Bench min-of-N protocol; a -1 failure never beats a
+                # clean run) and keep the smaller comparable-set total.
+                for q, v in d["queries"].items():
+                    old = runs[sc].get(q)
+                    if old is None or old < 0 or (0 <= v < old):
+                        runs[sc][q] = v
+                totals[sc] = min(totals[sc], d["total_sec"])
+                skipped[sc] |= set(d.get("skipped", []))
+            else:
+                runs[sc] = d["queries"]
+                totals[sc] = d["total_sec"]
+                scale_order.append(sc)
+                skipped[sc] = set(d.get("skipped", []))
         elif "time_ratios_vs_x1" in d:
             ratios[d["scale"]] = d["time_ratios_vs_x1"]
     return runs, ratios, totals, scale_order, skipped
