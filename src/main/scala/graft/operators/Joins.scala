@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -470,8 +471,50 @@ object Joins {
       .orderBy("n_name")
   }
 
+  /** Top-k core over any customer-shaped relation (spec fixtures call it
+    * directly with a hand-computed corpus). Candidates come from the same
+    * symmetric-delete signature join as join_fuzzy_match; each confirmed
+    * k1<k2 pair is mirrored into both directed orientations IN-ROW
+    * (explode, not union — the union would re-execute the candidate
+    * subtree), then a per-anchor window keeps the k nearest matches by
+    * (edit distance, match key). */
+  private[graft] def fuzzyTopkCore(c: DataFrame, k: Int): DataFrame = {
+    val confirmed = fuzzyCandidates(c)
+      .withColumn("ed", levenshtein(col("name1"), col("name2"), 2))
+      .filter(col("ed") =!= -1)
+    val directed = confirmed.select(explode(array(
+        struct(col("k1").as("anchor"), col("k2").as("match_key"), col("ed")),
+        struct(col("k2").as("anchor"), col("k1").as("match_key"), col("ed")))).as("p"))
+      .select("p.*")
+    val w = Window.partitionBy("anchor").orderBy(asc("ed"), asc("match_key"))
+    directed
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("anchor"), col("rk").cast("long").as("rk"),
+        col("match_key"), col("ed").cast("long").as("ed"))
+  }
+
+  /** The OUTPUT-BOUNDED form of the fuzzy join (round 17 — the r16
+    * verdict's item 3): per customer, its 3 nearest ed≤2 name matches in
+    * the same (nation, segment) block, nearest-first (ties by smallest
+    * match key). The r13 lenprobe proved join_fuzzy_match's ×100 cost IS
+    * its answer size (36.9M true pairs — no candidate pruning can undercut
+    * the output); at a 100-TB entity table the unbounded pair listing is
+    * the hazard, and capping matches per entity is the only scale-safe
+    * lever left: the candidate/confirm stages still pay true-near-dup
+    * density (that work is the answer's lower bound), but the emitted
+    * relation — what downstream joins, sorts, and sinks consume — is
+    * ≤ k·N rows instead of density². Anchors with no match are absent by
+    * definition (a row would need a null match). Deterministic total
+    * order ⇒ oracle-checkable, unlike most top-k-per-entity designs:
+    * (ed asc, match_key asc) is a total order per anchor. */
+  def joinFuzzyTopk(spark: SparkSession, sfDir: String): DataFrame =
+    fuzzyTopkCore(Tables.customer(spark, sfDir), 3)
+      .orderBy("anchor", "rk")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_fuzzy_match" -> joinFuzzyMatch,
+    "join_fuzzy_topk" -> joinFuzzyTopk,
     "join_bloom_prefilter" -> joinBloomPrefilter,
     "join_skew_salted" -> joinSkewSalted,
     "join_inner_hash" -> joinInnerHash,
@@ -500,6 +543,18 @@ object Joins {
         | AND levenshtein(a.c_name, b.c_name) <= 2
         |JOIN nation ON a.c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "join_fuzzy_topk" ->
+      """SELECT anchor, rk, match_key, ed FROM (
+        |  SELECT a.c_custkey AS anchor, b.c_custkey AS match_key,
+        |    CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS ed,
+        |    CAST(row_number() OVER (PARTITION BY a.c_custkey
+        |      ORDER BY levenshtein(a.c_name, b.c_name), b.c_custkey) AS BIGINT) AS rk
+        |  FROM customer a
+        |  JOIN customer b ON a.c_nationkey = b.c_nationkey
+        |   AND a.c_mktsegment = b.c_mktsegment
+        |   AND a.c_custkey <> b.c_custkey
+        |   AND levenshtein(a.c_name, b.c_name) <= 2)
+        |WHERE rk <= 3 ORDER BY anchor, rk""".stripMargin,
     "join_bloom_prefilter" ->
       """SELECT l_returnflag, count(*) AS n_lines,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
