@@ -301,6 +301,7 @@ object LlmVector {
     topkMemo.release(spark)
     pqMemo.release(spark)
     pqTopkMemo.release(spark)
+    trainedMemo.release(spark)
   }
 
   private def cellScored(spark: SparkSession, sfDir: String): DataFrame =
@@ -507,22 +508,112 @@ object LlmVector {
       .withColumn("centroid_nrm", norm("centroid"))
   }
 
-  private def buildCellScored(spark: SparkSession, sfDir: String): DataFrame = {
-    val centroids = centroidRelation(spark, sfDir)
-    // The whole index as ONE row of three parallel cell-ascending arrays
-    // (ids, row-major flattened centroids, norms): k·(8+4·Dim+8) bytes —
-    // ~2.8 MB at the ×300 probe's N=600k (10·2^10 cells), ~178 MB at the
-    // MaxBits=16 saturation point (N ≈ 8.6×10⁹ — see the MaxBits doc; a
-    // dimension table at every reachable scale). Flat primitive
-    // arrays (not array<struct>) so the scorer's hot loop reads them with
-    // zero per-cell allocations; array_sort on the struct list orders by
-    // its first field (cell), making the layout deterministic.
-    val matrix = centroids
+  /** The whole centroid index as ONE row of three parallel cell-ascending
+    * arrays (ids, row-major flattened centroids, norms): k·(8+4·Dim+8)
+    * bytes — ~2.8 MB at the ×300 probe's N=600k (10·2^10 cells), ~178 MB
+    * at the MaxBits=16 saturation point (N ≈ 8.6×10⁹ — see the MaxBits
+    * doc; a dimension table at every reachable scale). Flat primitive
+    * arrays (not array<struct>) so the scorer's hot loop reads them with
+    * zero per-cell allocations; array_sort on the struct list orders by
+    * its first field (cell), making the layout deterministic. Shared by
+    * the scored-cell cache build and the k-means assignment step (same
+    * layout, so the two `graft_ivf_topcells` consumers cannot drift). */
+  private def centroidMatrix(centroids: DataFrame): DataFrame =
+    centroids
       .agg(array_sort(collect_list(struct(col("cell"), col("centroid"), col("centroid_nrm")))).as("cs"))
       .select(
         transform(col("cs"), c => c.getField("cell")).as("cells"),
         flatten(transform(col("cs"), c => c.getField("centroid"))).as("cflat"),
         transform(col("cs"), c => c.getField("centroid_nrm")).as("cnrms"))
+
+  /** Serving memo for the TRAINED centroid relation: the k-row result is
+    * lazily cached (plan construction only — the ServingMemo lock is
+    * never held across a job), so the PQ coder and the cell-scored build
+    * reuse one training run instead of re-paying `rounds` corpus passes
+    * per consumer. */
+  private val trainedMemo = new ServingMemo(MemoCap)
+
+  /** Centroid-source dispatcher (round 17, the r16 verdict's item #2:
+    * decide the trained-centroid fork with data). Unset, the quantizer is
+    * the shipped data-OBLIVIOUS one (sign-projection cells → per-cell
+    * means — the formula the DuckDB oracle replays), so every oracle row,
+    * plan and hash is unchanged. `spark.graft.ann.centroids = trained[:r]`
+    * swaps in k-means-TRAINED centroids at the SAME cell count
+    * (NumLabels·2^b ∝ √N): probe law, rank cap and every downstream
+    * consumer (cell scoring, candidate join, PQ residual coder) see an
+    * identical budget, so a measured recall difference is attributable
+    * purely to centroid PLACEMENT. Spec-gated (Round17OpsSpec pins
+    * determinism, schema, k-sizing and the sf0.1 recall floor); measured
+    * at the large-N divergence points by tools/RecallProbe — numbers in
+    * SCALE.md round 17. Like probeLaw, the knob is read at BUILD time and
+    * every downstream result memoizes without the knob in its key — set
+    * it once per (session, dir), or releaseCellCache between flips (the
+    * spec and RecallProbe do). */
+  private def quantizerCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    spark.conf.get("spark.graft.ann.centroids", "oblivious") match {
+      case "oblivious" => centroidRelation(spark, sfDir)
+      case t if t == "trained" || t.startsWith("trained:") =>
+        val rounds = if (t == "trained") 4 else t.stripPrefix("trained:").toInt
+        require(rounds >= 1 && rounds <= 16, s"trained rounds $rounds not in [1,16]")
+        trainedMemo.get(spark, sfDir)(
+          trainedCentroidRelation(spark, sfDir, rounds).cache())
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.ann.centroids '$other' — expected oblivious | trained[:rounds]")
+    }
+
+  /** k-means (spherical: cosine assignment via `graft_ivf_topcells`
+    * rank-1, mean update) centroids — fully deterministic and fully lazy:
+    *  - k = NumLabels·2^b, the oblivious law's cell count at this N, so
+    *    the cell-count law (and with it build candidate volume ~N^1.5) is
+    *    unchanged — only placement is trained;
+    *  - seeds are a hash-stride sample (xxhash64(vec_id) mod ⌊N/k⌋ = 0 —
+    *    ~k data points, rerun-stable, no RNG), cell id = seed vec_id;
+    *  - `rounds` Lloyd rounds, each one broadcast fan-out of the one-row
+    *    centroid matrix + one groupBy mean: N·k dots per round with NO
+    *    shuffled candidate volume — each round costs one in-row centroid
+    *    scan (~N^1.5 flops, the ×300-measured 23–26 s stage), so training
+    *    multiplies the build's scan side by ~rounds and leaves the
+    *    dominant candidate join untouched;
+    *  - cells that lose all members simply drop out of the next round's
+    *    matrix (k decays slightly — the scorer ranks whatever exists);
+    *  - means are rounded (4 dp, like the oblivious relation) only at the
+    *    END, so intermediate precision is full double.
+    * The plan is a `rounds`-deep chain of broadcast exchanges — lazy (no
+    * job at construction, preserving both the ServingMemo contract and
+    * PlanSpec's plans-without-jobs invariant). */
+  private[graft] def trainedCentroidRelation(
+      spark: SparkSession, sfDir: String, rounds: Int): DataFrame = {
+    graft.functions.IvfTopCells.register(spark)
+    val e = emb(spark, sfDir).select("vec_id", "embedding", "nrm")
+    val nRow = Tables.embeddings(spark, sfDir).agg(count(lit(1)).as("n_total"))
+    val seeds = Fanout.broadcastAll(e, nRow, col("vec_id"), col("n_total"))
+      .withColumn("k",
+        lit(NumLabels.toDouble) * pow(lit(2.0), bucketBits(col("n_total"))))
+      .filter(pmod(xxhash64(col("vec_id")),
+        greatest(lit(1L), floor(col("n_total") / col("k")).cast("long"))) === 0L)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+      .withColumn("centroid_nrm", norm("centroid"))
+    val sums = (0 until Dim).map(i =>
+      sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i"))
+    val fin = (1 to rounds).foldLeft(seeds) { (cents, _) =>
+      Fanout.broadcastAll(e, centroidMatrix(cents), col("vec_id"), size(col("cells")))
+        .withColumn("tc",
+          explode(expr("graft_ivf_topcells(embedding, nrm, cells, cflat, cnrms, 1)")))
+        .select(col("tc.cell").as("cell"), col("embedding"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("cell"), array((0 until Dim).map(i =>
+          (col(s"s$i") / col("n")).cast("float")): _*).as("centroid"))
+        .withColumn("centroid_nrm", norm("centroid"))
+    }
+    fin.select(col("cell"),
+        transform(col("centroid"), c =>
+          round(c.cast("double"), 4).cast("float")).as("centroid"))
+      .withColumn("centroid_nrm", norm("centroid"))
+  }
+
+  private def buildCellScored(spark: SparkSession, sfDir: String): DataFrame = {
+    val matrix = centroidMatrix(quantizerCentroids(spark, sfDir))
     // Cached NARROW ranked top cells (vec_id, cell, dist2cell, cell_rank):
     // the relation is consumed twice per query (rank-1 index side + top-
     // (3+2b) probe side) and by TWO declared queries (llm_ann_ivf,
@@ -641,7 +732,7 @@ object LlmVector {
       .select("vec_id", "cell")
     emb(spark, sfDir).select("vec_id", "embedding")
       .join(own, "vec_id")
-      .join(broadcast(centroidRelation(spark, sfDir).select("cell", "centroid")), "cell")
+      .join(broadcast(quantizerCentroids(spark, sfDir).select("cell", "centroid")), "cell")
       .withColumn("resid", expr(
         s"""transform(sequence(0, ${Dim - 1}), i ->
            |  CAST(element_at(embedding, i+1) AS DOUBLE)
@@ -662,7 +753,7 @@ object LlmVector {
       .select(col("cell"),
         transform(col("plh"), p => p.getField("lo")).as("lows"),
         transform(col("plh"), p => p.getField("hi")).as("highs"))
-      .join(broadcast(centroidRelation(spark, sfDir).select("cell", "centroid")), "cell")
+      .join(broadcast(quantizerCentroids(spark, sfDir).select("cell", "centroid")), "cell")
       .select(col("cell"), col("lows"),
         expr(s"""transform(sequence(0, ${Dim - 1}), i ->
            |  CAST(element_at(centroid, i+1) AS DOUBLE) + element_at(lows, i+1))""".stripMargin)

@@ -25,7 +25,14 @@ import graft.Tables
   * discipline (the r16 OOM'd-sweep lesson: ~16k stages in one JVM
   * contaminated a published band).
   *
-  * Usage: runMain graft.tools.RecallProbe [sfDir] [modulus] [law] [which]
+  * Round 17 also takes the centroid-source knob (the trained-fork
+  * decision, r16 verdict item #2): `centroids` sets
+  * `spark.graft.ann.centroids` (oblivious — the shipped sign-projection
+  * quantizer — or trained[:rounds], the k-means fork at the same cell
+  * count), so the frontier can measure placement and probe budget
+  * independently on the same corpus.
+  *
+  * Usage: runMain graft.tools.RecallProbe [sfDir] [modulus] [law] [which] [centroids]
   *   modulus — probe sampling stride, default 997 (prime, so the vec_id
   *     stride of the synthesized copies doesn't alias the sample):
   *     ~200 probes at ×100, ~600 at ×300.
@@ -45,6 +52,7 @@ object RecallProbe {
     val modulus = if (args.length > 1) args(1).toInt else 997
     val law = if (args.length > 2) args(2) else "log"
     val which = if (args.length > 3) args(3) else "ivf"
+    val centroids = if (args.length > 4) args(4) else "oblivious"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
     // Size the law's knobs from N BEFORE the session exists: a cheap
@@ -67,6 +75,7 @@ object RecallProbe {
     val nprobe = graft.operators.LlmVector.nprobeScalar(law, b)
     spark.conf.set("spark.graft.ann.probeLaw", law)
     spark.conf.set("spark.graft.ann.maxRank", math.max(35, nprobe).toString)
+    spark.conf.set("spark.graft.ann.centroids", centroids)
 
     val probes = e.filter(pmod(col("vec_id"), lit(modulus.toLong)) === 0L)
       .select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
@@ -99,7 +108,7 @@ object RecallProbe {
       f""","recall5_ivfpq":$rPq%.4f,"cold_ivfpq_sec":$tPq%.1f"""
     } else ""
 
-    println(f"""{"dir":"$sfDir","law":"$law","b":$b,"nprobe":$nprobe,"n_vectors":$n,"n_probes":$nProbes,"recall5_ivf":$rIvf%.4f,"cold_ivf_sec":$tIvf%.1f$pqField}""")
+    println(f"""{"dir":"$sfDir","law":"$law","centroids":"$centroids","b":$b,"nprobe":$nprobe,"n_vectors":$n,"n_probes":$nProbes,"recall5_ivf":$rIvf%.4f,"cold_ivf_sec":$tIvf%.1f$pqField}""")
     spark.stop()
   }
 }

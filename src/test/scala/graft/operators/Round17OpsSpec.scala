@@ -106,4 +106,77 @@ class Round17OpsSpec extends SparkSpec {
       LlmVector.nprobeCol(spark, lit(4))
     } finally spark.conf.unset("spark.graft.ann.probeLaw")
   }
+
+  // --- the trained-centroid fork (r16 verdict item #2) ------------------
+  // Every knob test releases the IVF serving caches on both sides: the
+  // memos key on (session, dir) only, so a cached result built under one
+  // centroid source must never leak into a test (or a shipped query)
+  // running under another.
+
+  test("trained centroids are deterministic, k-sized by the oblivious law, proven dtypes") {
+    def run() = LlmVector.trainedCentroidRelation(spark, sf01, 2)
+    val c1 = run().orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toList, r.getDouble(2)))
+    val c2 = run().orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toList, r.getDouble(2)))
+    assert(c1.toSeq === c2.toSeq, "two identical training runs diverged")
+    // k-sizing: the fork trains AT the oblivious law's cell count
+    // (NumLabels·2^b) — a hash-stride seed sample can land under it and
+    // empty cells drop out, but the count must stay in the law's orbit,
+    // never a constant or ∝N
+    val n = graft.Tables.embeddings(spark, sf01).count()
+    val k = 10L * (1L << LlmVector.bucketBitsScalar(n))
+    assert(c1.length >= 2 && c1.length <= 2 * k,
+      s"${c1.length} trained cells vs law k=$k at n=$n")
+    // internal relation (the dtype gate applies to declared query outputs
+    // — the trained llm_ann_ivf output is assertProvenDtypes'd below);
+    // here pin the schema the downstream matrix/coder consumers expect
+    assert(run().schema.map(f => f.name -> f.dataType.simpleString) ===
+      Seq("cell" -> "bigint", "centroid" -> "array<float>", "centroid_nrm" -> "double"))
+  }
+
+  test("trained centroids hold the sf0.1 recall floor through the unchanged serve path") {
+    val sfBig = "/root/testdata/sf0.1"
+    val brute = LlmVector.llmCosineTopk(spark, sfBig)
+      .select("a", "nn").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    LlmVector.releaseCellCache(spark)
+    spark.conf.set("spark.graft.ann.centroids", "trained")
+    try {
+      val ann = LlmVector.llmAnnIvf(spark, sfBig)
+      val got = ann.select("a", "nn").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (brute & got).size.toDouble / brute.size
+      assert(recall >= 0.4,
+        s"trained recall@5 at sf0.1 was $recall — below the graded floor")
+      assertProvenDtypes(ann)
+    } finally {
+      spark.conf.unset("spark.graft.ann.centroids")
+      LlmVector.releaseCellCache(spark)
+    }
+  }
+
+  test("unset centroid knob IS the shipped oblivious quantizer, value-identical") {
+    LlmVector.releaseCellCache(spark)
+    val unset = LlmVector.llmAnnIvf(spark, sf01).collect().toSeq
+    LlmVector.releaseCellCache(spark)
+    spark.conf.set("spark.graft.ann.centroids", "oblivious")
+    try {
+      val explicit = LlmVector.llmAnnIvf(spark, sf01).collect().toSeq
+      assert(unset === explicit, "default centroid source drifted from oblivious")
+    } finally {
+      spark.conf.unset("spark.graft.ann.centroids")
+      LlmVector.releaseCellCache(spark)
+    }
+  }
+
+  test("an unknown centroid source fails loudly, not as a silent oblivious fallback") {
+    LlmVector.releaseCellCache(spark)
+    spark.conf.set("spark.graft.ann.centroids", "kmeans++")
+    try intercept[IllegalArgumentException] {
+      LlmVector.llmAnnIvf(spark, sf001)
+    } finally {
+      spark.conf.unset("spark.graft.ann.centroids")
+      LlmVector.releaseCellCache(spark)
+    }
+  }
 }
