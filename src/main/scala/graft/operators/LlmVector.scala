@@ -322,8 +322,10 @@ object LlmVector {
     * cells ≈ 178 MB of flat centroid arrays — still a broadcastable
     * dimension table on the 1000-executor target, ~2.8 MB at the ×300
     * probe's N=600k. Beyond the cap a production deployment re-derives
-    * TRAINED centroids with k ∝ √N — the cap bounds the fixed hyperplane
-    * budget here, an order of magnitude past the graded range (the
+    * TRAINED centroids with k ∝ √N — that fork EXISTS as of round 17
+    * (`spark.graft.ann.centroids = trained`, see quantizerCentroids; the
+    * measured frontier is SCALE.md round 17) — the cap bounds the fixed
+    * hyperplane budget here, an order of magnitude past the graded range (the
     * pre-round-16 cap of 8 sat INSIDE it: saturation at N≈131k made build
     * candidate volume ∝N², the measured ×300 spill knee — 268.7 GB memory
     * spill, ×72–123 wall). */
@@ -418,7 +420,17 @@ object LlmVector {
     *     shipped).
     * Any law change graduates through the r16 discipline: oracle mirror
     * + value-pin spec move together, 204/204 at all three SFs, LlmSpec's
-    * sf0.1 recall floor holds. */
+    * sf0.1 recall floor holds.
+    *
+    * Round-17 outcome (the frontier, SCALE.md round 17): the default
+    * STAYS log, with data — √cells laws top out at 0.22–0.30 new-content
+    * recall@5 for 1.5–2× build at ×100 (the 0.4 crossing on the
+    * oblivious quantizer is the quadratic frac corner), while the
+    * family regime is 1.00 under every law, so the shipped budget is
+    * the one regime-appropriate default. The measured retrieval-serving
+    * configuration is sqrt:2 STACKED with trained centroids (0.414 /
+    * 0.345 at ×100/×300, ~3.5× one-time build) — two session confs,
+    * no plan change. */
   private[graft] def nprobeCol(spark: SparkSession, bBits: Column): Column =
     spark.conf.get("spark.graft.ann.probeLaw", "log") match {
       case "log" => lit(3) + lit(2) * bBits
