@@ -155,6 +155,30 @@ class Round17OpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ rides trained centroids end-to-end and holds the recall floor") {
+    // the knob's claim is that EVERY downstream consumer sees the trained
+    // relation — the PQ residual coder is the one that would break
+    // silently (it joins centroids BY CELL; trained cell ids are sparse
+    // seed vec_ids, not the dense label<<16+bucket layout)
+    val sfBig = "/root/testdata/sf0.1"
+    val brute = LlmVector.llmCosineTopk(spark, sfBig)
+      .select("a", "nn").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    LlmVector.releaseCellCache(spark)
+    spark.conf.set("spark.graft.ann.centroids", "trained")
+    try {
+      val pq = LlmVector.llmAnnIvfPq(spark, sfBig)
+      val got = pq.select("a", "nn").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (brute & got).size.toDouble / brute.size
+      assert(recall >= 0.4,
+        s"trained IVF-PQ recall@5 at sf0.1 was $recall — below the graded floor")
+      assertProvenDtypes(pq)
+    } finally {
+      spark.conf.unset("spark.graft.ann.centroids")
+      LlmVector.releaseCellCache(spark)
+    }
+  }
+
   test("unset centroid knob IS the shipped oblivious quantizer, value-identical") {
     LlmVector.releaseCellCache(spark)
     val unset = LlmVector.llmAnnIvf(spark, sf01).collect().toSeq
