@@ -68,6 +68,10 @@ object ScaleStress {
     "llm_domain_resample", "ts_ship_latency", "win_pareto",
     "dq_constraints", "scd2_history", "evt_cohort_ltv",
     "llm_split_stratified", "sink_zorder", "join_fuzzy_match",
+    // round 17: the output-bounded fuzzy mode — its claim IS a scale claim
+    // (emitted rows ≤ k·N while candidate/confirm still pay true-near-dup
+    // density), so the sweep must measure it next to the unbounded row
+    "join_fuzzy_topk",
     "llm_multimodal_decode", "sink_time_travel", "sink_manifest_prune",
     "win_ntile_cume",
     // round 8: the three most pair-shaped operators that were not yet

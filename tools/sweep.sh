@@ -21,7 +21,9 @@ LOG=${4:?usage: tools/sweep.sh <baseSfDir> <outRoot> <mults-csv> <logfile>}
 IFS=',' read -ra MS <<< "$MULTS"
 for m in "${MS[@]}"; do
   echo "[sweep] scale x$m in a fresh JVM" >&2
+  # run_tool.sh launches the compiled classes directly: no sbt startup per
+  # point, and no contention with an interactive sbt server on the build
   SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-24g} SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
-    sbt "runMain graft.tools.ScaleStress $BASE $OUT $m" 2>&1 | tee -a "$LOG"
+    "$(dirname "$0")/run_tool.sh" graft.tools.ScaleStress "$BASE" "$OUT" "$m" 2>&1 | tee -a "$LOG"
 done
 echo "[sweep] done — table: python3 tools/scale_table.py $LOG" >&2
