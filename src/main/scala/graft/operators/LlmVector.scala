@@ -557,17 +557,22 @@ object LlmVector {
     * purely to centroid PLACEMENT. Spec-gated (Round17OpsSpec pins
     * determinism, schema, k-sizing and the sf0.1 recall floor); measured
     * at the large-N divergence points by tools/RecallProbe — numbers in
-    * SCALE.md round 17. Like probeLaw, the knob is read at BUILD time and
-    * every downstream result memoizes without the knob in its key — set
-    * it once per (session, dir), or releaseCellCache between flips (the
-    * spec and RecallProbe do). */
-  private def quantizerCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    * SCALE.md round 17. Like probeLaw, the knob is read at BUILD time;
+    * the trained relation itself memoizes per (session, dir, rounds),
+    * but every DOWNSTREAM result (cell cache, serve shortlists) memoizes
+    * without the knob in its key — set it once per (session, dir), or
+    * releaseCellCache between flips (the spec and RecallProbe do). */
+  private[graft] def quantizerCentroids(spark: SparkSession, sfDir: String): DataFrame =
     spark.conf.get("spark.graft.ann.centroids", "oblivious") match {
       case "oblivious" => centroidRelation(spark, sfDir)
       case t if t == "trained" || t.startsWith("trained:") =>
         val rounds = if (t == "trained") 4 else t.stripPrefix("trained:").toInt
         require(rounds >= 1 && rounds <= 16, s"trained rounds $rounds not in [1,16]")
-        trainedMemo.get(spark, sfDir)(
+        // rounds is part of the memo key: trained:1 → trained:8 in one
+        // session must retrain, not serve the first training's cache
+        // (r17 advisory). Downstream consumers still memoize without the
+        // knob — releaseCellCache between flips remains required.
+        trainedMemo.get(spark, s"$sfDir#trained:$rounds")(
           trainedCentroidRelation(spark, sfDir, rounds).cache())
       case other => throw new IllegalArgumentException(
         s"spark.graft.ann.centroids '$other' — expected oblivious | trained[:rounds]")
@@ -588,8 +593,13 @@ object LlmVector {
     *    dominant candidate join untouched;
     *  - cells that lose all members simply drop out of the next round's
     *    matrix (k decays slightly — the scorer ranks whatever exists);
-    *  - means are rounded (4 dp, like the oblivious relation) only at the
-    *    END, so intermediate precision is full double.
+    *  - per-round sums and means accumulate in double, but each round's
+    *    updated means are float-cast before the next assignment (the
+    *    centroid-matrix layout is array<float>); the 4 dp rounding (like
+    *    the oblivious relation) happens only at the END. Determinism is
+    *    per configuration — it rests on the fixed per-partition fold
+    *    order, i.e. stable for a given partitioning/config, not an
+    *    FP-associativity guarantee across machines.
     * The plan is a `rounds`-deep chain of broadcast exchanges — lazy (no
     * job at construction, preserving both the ServingMemo contract and
     * PlanSpec's plans-without-jobs invariant). */

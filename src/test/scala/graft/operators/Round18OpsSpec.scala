@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Round-18 invariants — the measured retrieval-serving profile promoted
+  * to a supported configuration (the r17 verdict's item #3: the
+  * 0.414 @ ×100 frontier point must be reachable as a documented,
+  * spec-gated profile, not two conf strings buried in a sweep log), and
+  * the trained-centroid memo honoring the rounds knob (r17 advisory:
+  * trained:1 → trained:8 in one session must retrain, not silently serve
+  * the first training's cache).
+  */
+class Round18OpsSpec extends SparkSpec {
+
+  test("serving profile (centroids=trained + probeLaw=sqrt:2) holds the sf0.1 recall floor end-to-end") {
+    // The documented retrieval-serving configuration (SURVEY §2
+    // llm_ann_ivf row; SCALE.md rounds 17–18 measure it at ×100/×300).
+    // Both knobs set together, through the UNCHANGED serve path: the
+    // stacked profile must hold the same sf0.1 floor the shipped default
+    // gates, with driver-proven output dtypes.
+    val sfBig = "/root/testdata/sf0.1"
+    val brute = LlmVector.llmCosineTopk(spark, sfBig)
+      .select("a", "nn").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    LlmVector.releaseCellCache(spark)
+    spark.conf.set("spark.graft.ann.centroids", "trained")
+    spark.conf.set("spark.graft.ann.probeLaw", "sqrt:2")
+    try {
+      val ann = LlmVector.llmAnnIvf(spark, sfBig)
+      val got = ann.select("a", "nn").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (brute & got).size.toDouble / brute.size
+      assert(recall >= 0.4,
+        s"serving-profile recall@5 at sf0.1 was $recall — below the documented floor")
+      assertProvenDtypes(ann)
+    } finally {
+      spark.conf.unset("spark.graft.ann.centroids")
+      spark.conf.unset("spark.graft.ann.probeLaw")
+      LlmVector.releaseCellCache(spark)
+    }
+  }
+
+  test("trained-centroid memo keys on rounds: trained:1 -> trained:8 retrains in-session") {
+    // Object identity is the observable: a memo HIT returns the same
+    // DataFrame instance, so a different rounds value returning the same
+    // instance would mean the knob was silently ignored (the r17
+    // advisory). Plan construction only — no job runs.
+    LlmVector.releaseCellCache(spark)
+    try {
+      spark.conf.set("spark.graft.ann.centroids", "trained:1")
+      val a = LlmVector.quantizerCentroids(spark, sf001)
+      spark.conf.set("spark.graft.ann.centroids", "trained:8")
+      val b = LlmVector.quantizerCentroids(spark, sf001)
+      assert(!(a eq b),
+        "trained:8 served the trained:1 cached relation — rounds missing from the memo key")
+      spark.conf.set("spark.graft.ann.centroids", "trained:1")
+      val c = LlmVector.quantizerCentroids(spark, sf001)
+      assert(a eq c, "same (dir, rounds) no longer memo-hits")
+    } finally {
+      spark.conf.unset("spark.graft.ann.centroids")
+      LlmVector.releaseCellCache(spark)
+    }
+  }
+}

@@ -30,11 +30,18 @@ if [ $# -gt 0 ]; then POINTS=("$@"); else POINTS=(
   '/tmp/graft_scale/j300|sqrt:2'
 ); fi
 for p in "${POINTS[@]}"; do
-  IFS='|' read -r dir law cent <<< "$p"
+  IFS='|' read -r dir law cent which <<< "$p"
   cent=${cent:-oblivious}
-  echo "[frontier] $dir law=$law centroids=$cent (fresh JVM)" >&2
-  SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-24g} \
-    tools/run_tool.sh graft.tools.RecallProbe "$dir" 997 "$law" ivf "$cent" \
-    2>/dev/null | grep '"law"' | tee -a "$LOG"
+  which=${which:-ivf}
+  echo "[frontier] $dir law=$law centroids=$cent which=$which (fresh JVM)" >&2
+  # stderr goes to a per-point file and the exit status is checked: a
+  # crashed probe JVM must leave a loud FAILED marker, not a silently
+  # missing frontier point (r17 advisory — one j300 JVM died unseen).
+  ERRF="$LOG.$(echo "$dir|$law|$cent" | tr '/|:' '___').stderr"
+  if ! SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-24g} \
+    tools/run_tool.sh graft.tools.RecallProbe "$dir" 997 "$law" "$which" "$cent" \
+    2>"$ERRF" | grep '"law"' | tee -a "$LOG"; then
+    echo "[frontier] FAILED $dir|$law|$cent — stderr in $ERRF" | tee -a "$LOG" >&2
+  fi
 done
 echo "[frontier] done — $LOG" >&2

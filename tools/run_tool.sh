@@ -14,6 +14,15 @@ set -euo pipefail
 MAIN=${1:?usage: tools/run_tool.sh <mainClass> [args...]}
 shift
 CLASSES=/root/repo/target/scala-2.13/classes
+# Staleness guard (r17 advisory): measuring after editing sources without
+# recompiling silently measures OLD code. Warn (don't fail — the
+# no-compile-during-measurement discipline makes mid-sweep edits legal).
+NEWEST_CLASS=$(find "$CLASSES" -name '*.class' -printf '%T@\n' 2>/dev/null | sort -n | tail -1)
+STALE=$(find /root/repo/src/main/scala -name '*.scala' -newermt "@${NEWEST_CLASS:-0}" 2>/dev/null | head -3)
+if [ -n "$STALE" ]; then
+  echo "[run_tool] WARNING: sources newer than compiled classes — this JVM runs OLD code:" >&2
+  echo "$STALE" | sed 's/^/[run_tool]   /' >&2
+fi
 ADD_OPENS=()
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic \
