@@ -478,6 +478,24 @@ object LlmVector {
   private def maxRank(spark: SparkSession): Int =
     spark.conf.get("spark.graft.ann.maxRank", (3 + 2 * MaxBits).toString).toInt
 
+  /** Per-task source-byte budget for the ANN candidate join, scaled to the
+    * PROBE budget actually in force: candidate volume per source byte is
+    * ∝ nprobe, so the per-task budget that keeps the candidate sort
+    * resident shrinks by the same factor (round 18 — the ×300 sqrt:4
+    * probe OOM'd the candidate sort at the width the 128 KB budget
+    * yields, because that budget was ProfileJobs-measured UNDER THE
+    * SHIPPED LAW; a 5.7× candidate multiplier needs a ~5.7× wider sort).
+    * `maxRank` is the driver-side proxy — the sweep/serving contract
+    * sets it to the actual nprobe (RecallProbe computes it from N), and
+    * at its 35 default this is EXACTLY ScaleRules.AnnCandidateTaskBytes,
+    * so every unset-knob plan keeps its width byte-identical
+    * (Round18OpsSpec pins both branches). Floor of 4 KB: maxRank is a
+    * session conf, and an absurd value must degrade to more tasks, not a
+    * zero budget. */
+  private[graft] def annCandidateTaskBytes(spark: SparkSession): Long =
+    math.max(4L << 10,
+      graft.ScaleRules.AnnCandidateTaskBytes * (3 + 2 * MaxBits) / maxRank(spark))
+
   /** Sign-bit bucket: bit j set iff hyperplane-j projection > 0, low b bits
     * only. The projection folds left-to-right in double (zip_with +
     * aggregate), matching DuckDB's list_aggregate('sum') fold, so the sign
@@ -730,7 +748,7 @@ object LlmVector {
     // measured band was already healthy). (cell, frag) has ~20k distinct
     // keys, so the wide hash distribution stays balanced.
     val parts = graft.ScaleRules.wideBuildWidth(
-      spark, s"$sfDir/embeddings.parquet", graft.ScaleRules.AnnCandidateTaskBytes)
+      spark, s"$sfDir/embeddings.parquet", annCandidateTaskBytes(spark))
     topkWithin(probesF.repartition(parts, col("cell"), col("frag"))
       .join(indexedF.hint("shuffle_hash"), Seq("cell", "frag"))
       .filter(col("a") =!= col("b"))
@@ -858,7 +876,7 @@ object LlmVector {
     // shortlist sort runs over the same ~per-candidate row count as the
     // plain-IVF candidate sort, so it shares AnnCandidateTaskBytes.
     val parts = graft.ScaleRules.wideBuildWidth(
-      spark, s"$sfDir/embeddings.parquet", graft.ScaleRules.AnnCandidateTaskBytes)
+      spark, s"$sfDir/embeddings.parquet", annCandidateTaskBytes(spark))
     val approx = probesF.repartition(parts, col("cell"), col("frag"))
       .join(codesF.hint("shuffle_hash"), Seq("cell", "frag"))
       .filter(col("a") =!= col("b"))

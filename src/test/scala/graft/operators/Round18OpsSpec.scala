@@ -39,6 +39,26 @@ class Round18OpsSpec extends SparkSpec {
     }
   }
 
+  test("candidate-join task budget follows the probe budget; unset knob is byte-identical") {
+    // The width law's per-task budget was ProfileJobs-measured under the
+    // shipped log law; a raised probe budget multiplies candidate volume
+    // per source byte, so the budget shrinks by the same factor (the
+    // ×300 sqrt:4 probe OOM'd the candidate sort at the unscaled width —
+    // round 18). Unset, the budget IS ScaleRules.AnnCandidateTaskBytes,
+    // so every shipped plan keeps its width.
+    spark.conf.unset("spark.graft.ann.maxRank")
+    assert(LlmVector.annCandidateTaskBytes(spark) ===
+      graft.ScaleRules.AnnCandidateTaskBytes)
+    try {
+      spark.conf.set("spark.graft.ann.maxRank", "131")
+      assert(LlmVector.annCandidateTaskBytes(spark) ===
+        graft.ScaleRules.AnnCandidateTaskBytes * 35 / 131)
+      spark.conf.set("spark.graft.ann.maxRank", "1000000")
+      assert(LlmVector.annCandidateTaskBytes(spark) === (4L << 10),
+        "an absurd maxRank must floor the budget, not zero it")
+    } finally spark.conf.unset("spark.graft.ann.maxRank")
+  }
+
   test("trained-centroid memo keys on rounds: trained:1 -> trained:8 retrains in-session") {
     // Object identity is the observable: a memo HIT returns the same
     // DataFrame instance, so a different rounds value returning the same
