@@ -759,6 +759,55 @@ object LlmVector {
   def llmAnnIvf(spark: SparkSession, sfDir: String): DataFrame =
     annTopkCore(spark, sfDir).orderBy("a", "rank")
 
+  /** Candidate relation for an EXTERNAL query stream against the serving
+    * index — the deployment shape the IVF index exists for (index once,
+    * serve an unbounded query stream), shared by `StreamOps.streamAnnServe`
+    * (round 18). `queries` is unbounded (qid, embedding float[Dim]); the
+    * result is the stream of (qid, nn candidate, exact cos) rows:
+    *
+    *  - each query row ranks its top-nprobe cells IN-ROW against the
+    *    broadcast one-row centroid matrix (`graft_ivf_topcells` — the same
+    *    expression, matrix and probe law as the batch build, so a query
+    *    vector that exists in the corpus probes EXACTLY the cells
+    *    `llm_ann_ivf` probes for it);
+    *  - candidates come from a stream-STATIC equi-join on cell against the
+    *    memoized rank-1 index side (`cellScored`, the same cached relation
+    *    the batch serve reads) — stateless in the stream, so no watermark
+    *    and no state store; per-query work is nprobe·cell-occupancy dot
+    *    products, identical to a batch probe;
+    *  - self-matches drop (a served query never returns its own id).
+    *
+    * nprobe/bit-budget are fixed at STREAM-SETUP time from the corpus
+    * count (one setup job — serving setup already materializes the index;
+    * the law and centroid knobs are read through the same dispatchers as
+    * the batch build, so the serving profile's confs apply unchanged). */
+  private[graft] def annServeCandidates(
+      spark: SparkSession, sfDir: String, queries: DataFrame): DataFrame = {
+    graft.functions.IvfTopCells.register(spark)
+    val n = Tables.embeddings(spark, sfDir)
+      .filter(col("embedding").isNotNull).count()
+    val nprobe = math.min(
+      nprobeScalar(spark.conf.get("spark.graft.ann.probeLaw", "log"),
+        bucketBitsScalar(n)),
+      maxRank(spark))
+    val vecs = emb(spark, sfDir).select("vec_id", "embedding", "nrm")
+    val indexed = cellScored(spark, sfDir).filter(col("cell_rank") === 1)
+      .join(vecs, "vec_id")
+      .select(col("vec_id").as("b"), col("cell"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+    val matrix = centroidMatrix(quantizerCentroids(spark, sfDir))
+    Fanout.broadcastAll(queries.withColumn("nq", norm("embedding")),
+        matrix, col("qid"), size(col("cells")))
+      .withColumn("tc", explode(expr(
+        s"graft_ivf_topcells(embedding, nq, cells, cflat, cnrms, $nprobe)")))
+      .select(col("qid"), col("tc.cell").as("cell"),
+        col("embedding").as("eq"), col("nq"))
+      .join(indexed, "cell")
+      .filter(col("b") =!= col("qid"))
+      .withColumn("cos", dot("eq", "eb") / (col("nq") * col("nb")))
+      .select("qid", "b", "cos")
+  }
+
   /** Serving memo for the IVF-PQ codes index — the 4×-smaller residency
     * the compose exists for (same lifecycle as the float memos). */
   private val pqMemo = new ServingMemo(MemoCap)

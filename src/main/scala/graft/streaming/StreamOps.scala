@@ -420,7 +420,68 @@ object StreamOps {
           out.result().iterator
       }
   }
+
+  /** Running top-k NEIGHBORS per query — the stateful half of the ANN
+    * query-stream serve (round 18). State per query is ONLY the k best
+    * (cos, nn) pairs seen (O(queries·k), independent of how many
+    * candidate rows the probes produce), merged per batch under the SAME
+    * comparator as the batch `llm_ann_ivf` rank window (cos desc, ties to
+    * the smaller neighbor id) on UNROUNDED doubles — so a corpus vector
+    * fed as a query converges to exactly the batch answer once all its
+    * probed cells have streamed through. Emits the current top-k after
+    * every batch the query appears in (Update mode). */
+  class AnnTopKProcessor(k: Int)
+      extends StatefulProcessor[Long, (Long, Long, Double), (Long, Seq[Long], Seq[Double])] {
+    @transient private var top: ValueState[AnnNeighbors] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      top = getHandle.getValueState[AnnNeighbors](
+        "nns", Encoders.product[AnnNeighbors], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Seq[Long], Seq[Double])] = {
+      val cur = if (top.exists()) top.get() else AnnNeighbors(Seq.empty, Seq.empty)
+      // distinctBy after the sort keeps the best row per neighbor, making
+      // re-delivered candidates idempotent (at-least-once replay safety —
+      // a (query, neighbor) pair always scores the same deterministic cos)
+      val merged = (cur.cos.zip(cur.nn) ++ rows.map(r => (r._3, r._2)))
+        .sorted(Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long]))
+        .distinctBy(_._2)
+        .take(k)
+      top.update(AnnNeighbors(merged.map(_._1), merged.map(_._2)))
+      // same rounding as the batch output's round(cos, 6): HALF_UP
+      Iterator.single((key, merged.map(_._2), merged.map(p =>
+        BigDecimal(p._1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    }
+  }
+
+  /** ANN serve over an unbounded QUERY stream — the deployment shape the
+    * IVF index (and the round-17/18 serving profile) exists for: build
+    * the index once, then answer vector queries as they arrive. The
+    * candidate stage is `LlmVector.annServeCandidates` — stream-STATIC
+    * and stateless (each query row probes its own top-nprobe cells
+    * against the broadcast centroid matrix and equi-joins the memoized
+    * rank-1 index on cell; no watermark, no join state) — and the only
+    * state is the per-query top-k (AnnTopKProcessor). The probe law /
+    * centroid-source knobs apply through the same dispatchers as the
+    * batch build, so the documented serving profile's confs govern this
+    * path unchanged. Emits (qid, top neighbor ids, cos rounded 6). */
+  def streamAnnServe(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      queries: Dataset[AnnQuery], k: Int = 5): Dataset[(Long, Seq[Long], Seq[Double])] = {
+    import queries.sparkSession.implicits._
+    graft.operators.LlmVector.annServeCandidates(spark, sfDir, queries.toDF())
+      .toDF("_1", "_2", "_3")
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new AnnTopKProcessor(k), TimeMode.None(), OutputMode.Update())
+  }
 }
+
+/** One ANN serve query: an external vector probing the corpus index.
+  * Embedding layout matches the corpus table (float[Dim]). */
+case class AnnQuery(qid: Long, embedding: Seq[Float])
+
+/** Bounded top-k state for AnnTopKProcessor: parallel (cos, nn) arrays,
+  * kept sorted by (cos desc, nn asc) — the batch rank comparator. */
+case class AnnNeighbors(cos: Seq[Double], nn: Seq[Long])
 
 /** Event record for the attribution stream: epoch-µs long timestamps (the
   * events table is µs-precision; java.sql.Timestamp's ms `getTime` would
