@@ -145,6 +145,34 @@ object LlmVector {
   def llmCosineTopk(spark: SparkSession, sfDir: String): DataFrame =
     cosineTopkCore(spark, sfDir).orderBy("a", "rank")
 
+  /** In-engine index-quality diagnostic (round 18): recall@5 of the IVF
+    * index against the exact baseline, per label — the RecallProbe loop
+    * made first-class, so an operator of the serving profile can measure
+    * what a knob change buys ON THEIR CORPUS without leaving the engine
+    * (run it with `centroids`/`probeLaw` set to score a candidate
+    * configuration). Both sides are this library's own oracle-proven
+    * relations (exact all-pairs top-5, IVF top-5), so the composition is
+    * fully oracle-checked; per-label grain surfaces WHERE the quantizer
+    * loses neighbors rather than one blended number. Cost is dominated BY
+    * DEFINITION by the exact half (the ground-truth all-pairs row) — the
+    * same declared shape and ×10 sweep cap as `llm_cosine_topk`. */
+  def llmAnnRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = cosineTopkCore(spark, sfDir).select("a", "nn")
+    val ann = annTopkCore(spark, sfDir).select(col("a"), col("nn"))
+      .withColumn("hit", lit(1L))
+    val labels = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("a"), col("label").cast("long").as("label"))
+    exact.join(ann, Seq("a", "nn"), "left")
+      .join(labels, "a")
+      .groupBy("label")
+      .agg(countDistinct(col("a")).as("n_queries"),
+        count(lit(1)).as("exact_pairs"),
+        coalesce(sum(col("hit")), lit(0L)).as("hits"))
+      .withColumn("recall5",
+        round(col("hits").cast("double") / col("exact_pairs"), 4))
+      .orderBy("label")
+  }
+
   /** Majority label among the 5 nearest IVF-candidate neighbors; per-label
     * accuracy against the vector's own label. Vote ties break by (count
     * desc, label asc). Rides the IVF candidate generation (annTopkCore) —
@@ -1116,6 +1144,7 @@ object LlmVector {
     "llm_multimodal_decode" -> llmMultimodalDecode,
     "llm_frame_sample" -> llmFrameSample,
     "llm_cosine_topk" -> llmCosineTopk,
+    "llm_ann_recall" -> llmAnnRecall,
     "llm_knn_label" -> llmKnnLabel,
     "llm_embed_neardup" -> llmEmbedNeardup,
     "llm_semdedup" -> llmSemdedup,
@@ -1243,6 +1272,33 @@ object LlmVector {
          |  FROM pairs)
          |SELECT a, b AS nn, rank, round(cos, 6) AS cos FROM ranked
          |WHERE rank <= 5 ORDER BY a, rank""".stripMargin,
+    // both halves are this library's own oracle-proven pipelines (ivfSql's
+    // cand + the llm_cosine_topk all-pairs ranking), composed: per-label
+    // recall@5 of the IVF candidates against the exact baseline
+    "llm_ann_recall" ->
+      s"""WITH $ivfSql,
+         |ann AS (
+         |  SELECT a, b FROM (
+         |    SELECT a, b,
+         |      row_number() OVER (PARTITION BY a ORDER BY cos DESC, b ASC) AS rank
+         |    FROM cand) WHERE rank <= 5),
+         |exact AS (
+         |  SELECT a, b FROM (
+         |    SELECT a, b,
+         |      row_number() OVER (PARTITION BY a ORDER BY cos DESC, b ASC) AS rank
+         |    FROM (SELECT ea.vec_id AS a, eb.vec_id AS b,
+         |            $cosSql AS cos
+         |          FROM embeddings ea JOIN embeddings eb ON ea.vec_id <> eb.vec_id))
+         |  WHERE rank <= 5)
+         |SELECT CAST(lb.label AS BIGINT) AS label,
+         |  CAST(count(DISTINCT e.a) AS BIGINT) AS n_queries,
+         |  CAST(count(*) AS BIGINT) AS exact_pairs,
+         |  CAST(sum(CASE WHEN ann.b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |  round(sum(CASE WHEN ann.b IS NOT NULL THEN 1.0 ELSE 0.0 END) / count(*), 4) AS recall5
+         |FROM exact e
+         |LEFT JOIN ann ON e.a = ann.a AND e.b = ann.b
+         |JOIN embeddings lb ON e.a = lb.vec_id
+         |GROUP BY lb.label ORDER BY label""".stripMargin,
     "llm_knn_label" ->
       s"""WITH $ivfSql,
          |topk AS (

@@ -59,6 +59,24 @@ class Round18OpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.ann.maxRank")
   }
 
+  test("llm_ann_recall equals the independently-computed recall of ivf vs exact") {
+    // the declared row aggregates per label; this pin recomputes global
+    // recall from the two underlying top-5 sets with plain Scala set
+    // algebra — the aggregated row sums must reproduce it exactly
+    import org.apache.spark.sql.functions._
+    val exact = LlmVector.llmCosineTopk(spark, sf01)
+      .select("a", "nn").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = LlmVector.llmAnnIvf(spark, sf01)
+      .select("a", "nn").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rec = LlmVector.llmAnnRecall(spark, sf01)
+    val agg = rec.agg(sum("hits"), sum("exact_pairs"), sum("n_queries"))
+      .head()
+    assert(agg.getLong(0) === (exact & ann).size.toLong, "hits != |exact ∩ ann|")
+    assert(agg.getLong(1) === exact.size.toLong, "exact_pairs != |exact|")
+    assert(agg.getLong(2) === exact.map(_._1).size.toLong, "n_queries != |probe set|")
+    assertProvenDtypes(rec)
+  }
+
   test("trained-centroid memo keys on rounds: trained:1 -> trained:8 retrains in-session") {
     // Object identity is the observable: a memo HIT returns the same
     // DataFrame instance, so a different rounds value returning the same
