@@ -154,6 +154,62 @@ object Aggregations {
       .orderBy("bucket")
   }
 
+  /** Shannon entropy of the source mix per language — the corpus-diversity
+    * diagnostic an LLM-data pipeline reads before setting mixing weights
+    * (llm_domain_mix computes the weights; this measures how concentrated
+    * the mix it starts from is): per lang, H = −Σ p·ln p over source
+    * shares, plus H normalized by ln(n_sources) ∈ [0,1]. Proportions are
+    * ratios of exact integer counts; each −p·ln p term is pinned at 8 dp
+    * before the per-lang sum (the cross-engine ln discipline), and the
+    * single-source case declares normalized entropy 0 rather than an
+    * engine-specific 0/0. One doc-grain aggregate + a ≤(langs·sources)-row
+    * window — linear. */
+  def aggEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("cnt"))
+    val wl = Window.partitionBy("lang")
+    counts
+      .withColumn("p", col("cnt").cast("double") / sum("cnt").over(wl))
+      .withColumn("term", round(-col("p") * log(col("p")), 8))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sources"),
+        sum("cnt").as("n_docs"),
+        round(sum("term"), 6).as("entropy"),
+        when(count(lit(1)) > 1,
+          round(sum("term") / log(count(lit(1)).cast("double")), 6))
+          .otherwise(lit(0.0)).as("entropy_norm"))
+      .orderBy("lang")
+  }
+
+  /** Gini coefficient of per-customer revenue concentration per segment —
+    * the inequality scalar beside win_pareto's 80/20 share curve: G =
+    * 2·Σ(rank·xᵢ)/(n·Σxᵢ) − (n+1)/n over customers ranked ascending by
+    * (revenue, custkey — the deterministic tie-break). ALL sums run in
+    * exact integer cents (the q1_decimal minor-unit convention: 2-dp
+    * totals cast to DECIMAL(12,2) and scaled ×100 before summing), so
+    * the only floating-point ops are the two final divisions of exact
+    * integers — engine-identical to the ulp, making the 6-dp rounding
+    * boundary-proof rather than probabilistic. One customer-grain
+    * aggregate + a per-segment rank window. */
+  def aggGini(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("c_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy("seg").orderBy(col("cents"), col("c_custkey"))
+    cust.withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n_cust"),
+        sum("cents").as("total_cents"),
+        sum(col("rk") * col("cents")).as("s1"))
+      .withColumn("gini", round(
+        lit(2.0) * col("s1").cast("double")
+          / (col("n_cust").cast("double") * col("total_cents").cast("double"))
+          - (col("n_cust").cast("double") + lit(1.0)) / col("n_cust").cast("double"), 6))
+      .select("seg", "n_cust", "total_cents", "gini")
+      .orderBy("seg")
+  }
+
   /** Distribution stats per event_type (min/max are selections — exact;
     * moments rounded). */
   def aggMultiStats(spark: SparkSession, sfDir: String): DataFrame =
@@ -621,6 +677,8 @@ object Aggregations {
     "agg_pricing_summary" -> aggPricingSummary,
     "q1_decimal" -> aggPricingDecimal,
     "agg_histogram" -> aggHistogram,
+    "agg_entropy" -> aggEntropy,
+    "agg_gini" -> aggGini,
     "agg_incremental" -> aggIncremental,
     "agg_freq_items" -> aggFreqItems,
     "agg_mode" -> aggMode,
@@ -689,6 +747,38 @@ object Aggregations {
         |    CAST(floor((o_totalprice - lo) / ((hi - lo) / 10.0)) AS BIGINT)) AS bucket,
         |  count(*) AS n, min(o_totalprice) AS lo_v, max(o_totalprice) AS hi_v
         |FROM orders, b GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "agg_gini" ->
+      """WITH cust AS (
+        |  SELECT c_mktsegment AS seg, c_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT seg, cents,
+        |    CAST(row_number() OVER (PARTITION BY seg ORDER BY cents, c_custkey)
+        |      AS BIGINT) AS rk
+        |  FROM cust)
+        |SELECT seg, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  round(2.0 * CAST(sum(rk * cents) AS DOUBLE)
+        |      / (CAST(count(*) AS DOUBLE) * CAST(sum(cents) AS DOUBLE))
+        |    - (CAST(count(*) AS DOUBLE) + 1.0) / CAST(count(*) AS DOUBLE), 6) AS gini
+        |FROM r GROUP BY seg ORDER BY seg""".stripMargin,
+    "agg_entropy" ->
+      """WITH c AS (
+        |  SELECT lang, source, count(*) AS cnt FROM documents GROUP BY 1, 2),
+        |t AS (
+        |  SELECT lang, cnt,
+        |    CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY lang) AS p
+        |  FROM c),
+        |e AS (SELECT lang, cnt, round(-p * ln(p), 8) AS term FROM t)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
+        |  CAST(sum(cnt) AS BIGINT) AS n_docs,
+        |  round(sum(term), 6) AS entropy,
+        |  CASE WHEN count(*) > 1
+        |       THEN round(sum(term) / ln(CAST(count(*) AS DOUBLE)), 6)
+        |       ELSE 0.0 END AS entropy_norm
+        |FROM e GROUP BY lang ORDER BY lang""".stripMargin,
     // q1_decimal: NO round() anywhere — exact decimal arithmetic, output
     // as exact integer minor units (BIGINT — the driver-proven dtype; the
     // DECIMAL(38,_) output form hash-failed at the driver in r12 despite

@@ -87,7 +87,14 @@ object TimeSeries {
     * stream. open/high/low/close are selected (not summed) values — exact
     * parity without rounding; only the volume sum needs the 2-decimal
     * margin. */
-  def tsOhlc(spark: SparkSession, sfDir: String): DataFrame = {
+  def tsOhlc(spark: SparkSession, sfDir: String): DataFrame =
+    hourlyBars(spark, sfDir).orderBy("bar")
+
+  /** The hourly OHLC bar kernel shared by ts_ohlc and ts_garman_klass
+    * (round 18 factoring — same expressions, so the two consumers cannot
+    * drift): open/close are the endpoint values under the total
+    * (epoch_us, event_id) order via struct min/max, one hash aggregate. */
+  private def hourlyBars(spark: SparkSession, sfDir: String): DataFrame = {
     val keyed = struct(col("epoch_us").as("e"), col("event_id").as("i"), col("value").as("v"))
     Tables.events(spark, sfDir)
       .withColumn("bar", date_trunc("hour", col("ts_ntz")).cast("timestamp_ntz"))
@@ -99,7 +106,93 @@ object TimeSeries {
         max(keyed).getField("v").as("close"),
         count(lit(1)).as("n"),
         round(sum("value"), 2).as("volume"))
-      .orderBy("bar")
+  }
+
+  /** 2·ln2 − 1, computed ONCE here and injected into BOTH engines as a
+    * shortest-round-trip double literal (the ewmaWeights discipline), so
+    * neither side depends on its own ln(2) agreeing in the last ulp. */
+  private val GkConst: Double = 2.0 * math.log(2.0) - 1.0
+
+  /** Garman–Klass realized-volatility estimator per day — the range-based
+    * daily vol a desk computes from OHLC bars when tick-level returns are
+    * too noisy (uses the full intra-bar range, ~7.4× more efficient than
+    * close-to-close): per hourly bar, σ²_GK = ½·ln(H/L)² − (2ln2−1)·
+    * ln(C/O)², averaged over the day's bars; bars with a non-positive low
+    * are excluded (both engines declare the same filter — ln needs
+    * positive prices). Rides the SAME hourly-bar kernel as ts_ohlc
+    * (referenced, not copied); the per-bar log terms are pinned at 8 dp
+    * before the daily mean so cross-engine last-ulp ln differences cannot
+    * reach the rounded output. The daily aggregate runs over the
+    * calendar-sized bar table — the win_ewma shape. */
+  def tsGarmanKlass(spark: SparkSession, sfDir: String): DataFrame =
+    hourlyBars(spark, sfDir)
+      .filter(col("low") > 0.0)
+      .withColumn("hl", round(log(col("high") / col("low")), 8))
+      .withColumn("co", round(log(col("close") / col("open")), 8))
+      .withColumn("gk",
+        lit(0.5) * col("hl") * col("hl") - lit(GkConst) * col("co") * col("co"))
+      .groupBy(to_date(col("bar")).as("day"))
+      .agg(count(lit(1)).as("n_bars"),
+        round(avg("gk"), 8).as("gk_var"),
+        round(sqrt(greatest(avg("gk"), lit(0.0))), 6).as("gk_vol"))
+      .orderBy("day")
+
+  /** RSI-14 (SMA variant) over global daily revenue — the momentum
+    * oscillator: daily deltas split into gains/losses, 14-day simple
+    * averages (Wilder's recursive smoothing is deliberately NOT used —
+    * its infinite recurrence has no windowed closed form and the SMA
+    * variant is the standard engine-replayable form), RS = avgGain/avgLoss,
+    * RSI = 100 − 100/(1+RS) with the all-gain period declared 100 (not an
+    * engine-specific ÷0). Deltas are exact (rev pinned at 2 dp), the two
+    * frame averages are pinned at 4 dp before the ratio; ≥14-obs guard so
+    * every emitted value is a full window. Same calendar-sized
+    * single-window shape as ts_bollinger. */
+  def tsRsi(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+    val wlag = Window.orderBy("day")
+    val w = Window.orderBy("day").rowsBetween(-13, Window.currentRow)
+    daily
+      .withColumn("delta", round(col("rev") - lag("rev", 1).over(wlag), 2))
+      .filter(col("delta").isNotNull)
+      .withColumn("gain", greatest(col("delta"), lit(0.0)))
+      .withColumn("loss", greatest(-col("delta"), lit(0.0)))
+      .withColumn("n_obs", count(lit(1)).over(w))
+      .withColumn("avg_gain", round(avg("gain").over(w), 4))
+      .withColumn("avg_loss", round(avg("loss").over(w), 4))
+      .filter(col("n_obs") >= 14)
+      .withColumn("rsi", when(col("avg_loss") === 0.0, lit(100.0))
+        .otherwise(round(lit(100.0) - lit(100.0) /
+          (lit(1.0) + col("avg_gain") / col("avg_loss")), 4)))
+      .select("day", "delta", "avg_gain", "avg_loss", "rsi")
+      .orderBy("day")
+  }
+
+  /** Bollinger bands + %B over global daily revenue — the mean-reversion
+    * overlay (MA20 ± 2σ20): one ROWS-frame window pass over the
+    * calendar-sized daily table (the win_ewma shape), ≥20-obs guard so
+    * every emitted band is a full window; bands are computed from the
+    * ROUNDED ma/σ (4 dp) and %B from the rounded bands (both engines
+    * replay the same pinned intermediates), with the zero-width band
+    * emitting NULL %B by declaration rather than an engine-specific
+    * division artifact. */
+  def tsBollinger(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+    val w = Window.orderBy("day").rowsBetween(-19, Window.currentRow)
+    daily
+      .withColumn("n_obs", count(lit(1)).over(w))
+      .withColumn("ma20", round(avg("rev").over(w), 4))
+      .withColumn("sd20", round(stddev_samp("rev").over(w), 4))
+      .filter(col("n_obs") >= 20)
+      .withColumn("upper", round(col("ma20") + lit(2.0) * col("sd20"), 4))
+      .withColumn("lower", round(col("ma20") - lit(2.0) * col("sd20"), 4))
+      .withColumn("pctb", when(col("upper") > col("lower"),
+        round((col("rev") - col("lower")) / (col("upper") - col("lower")), 6)))
+      .select("day", "rev", "ma20", "sd20", "upper", "lower", "pctb")
+      .orderBy("day")
   }
 
   /** EWMA decay factor and window depth for win_ewma. Weights are computed
@@ -500,6 +593,9 @@ object TimeSeries {
     "ts_interp_linear" -> tsInterpLinear,
     "ts_forward_fill" -> tsForwardFill,
     "ts_ohlc" -> tsOhlc,
+    "ts_garman_klass" -> tsGarmanKlass,
+    "ts_bollinger" -> tsBollinger,
+    "ts_rsi" -> tsRsi,
     "ts_drawdown" -> tsDrawdown,
     "win_ewma" -> winEwma,
   )
@@ -745,6 +841,69 @@ object TimeSeries {
         |  (max({'e': epoch_us(ts), 'i': event_id, 'v': value})).v AS close,
         |  count(*) AS n, round(sum(value), 2) AS volume
         |FROM events GROUP BY bar ORDER BY bar""".stripMargin,
+    // the bars CTE is ts_ohlc's oracle verbatim (the shared hourlyBars
+    // kernel, referenced not copied); 2ln2-1 is the SAME double literal
+    // the engine injects (GkConst round-trip)
+    "ts_garman_klass" ->
+      s"""WITH bars AS (
+         |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar,
+         |    (min({'e': epoch_us(ts), 'i': event_id, 'v': value})).v AS open,
+         |    max(value) AS high, min(value) AS low,
+         |    (max({'e': epoch_us(ts), 'i': event_id, 'v': value})).v AS close
+         |  FROM events GROUP BY bar),
+         |g AS (
+         |  SELECT CAST(bar AS DATE) AS day,
+         |    round(ln(high / low), 8) AS hl,
+         |    round(ln(close / open), 8) AS co
+         |  FROM bars WHERE low > 0)
+         |SELECT day, CAST(count(*) AS BIGINT) AS n_bars,
+         |  round(avg(0.5 * hl * hl - $GkConst * co * co), 8) AS gk_var,
+         |  round(sqrt(GREATEST(avg(0.5 * hl * hl - $GkConst * co * co), 0.0)), 6) AS gk_vol
+         |FROM g GROUP BY day ORDER BY day""".stripMargin,
+    "ts_rsi" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY 1),
+        |d AS (
+        |  SELECT day, round(rev - lag(rev, 1) OVER (ORDER BY day), 2) AS delta
+        |  FROM daily),
+        |g AS (
+        |  SELECT day, delta,
+        |    greatest(delta, 0.0) AS gain, greatest(-delta, 0.0) AS loss
+        |  FROM d WHERE delta IS NOT NULL),
+        |a AS (
+        |  SELECT day, delta,
+        |    count(*) OVER win AS n_obs,
+        |    round(avg(gain) OVER win, 4) AS avg_gain,
+        |    round(avg(loss) OVER win, 4) AS avg_loss
+        |  FROM g
+        |  WINDOW win AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT day, delta, avg_gain, avg_loss,
+        |  CASE WHEN avg_loss = 0.0 THEN 100.0
+        |       ELSE round(100.0 - 100.0 / (1.0 + avg_gain / avg_loss), 4) END AS rsi
+        |FROM a WHERE n_obs >= 14 ORDER BY day""".stripMargin,
+    "ts_bollinger" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT day, rev,
+        |    count(*) OVER win AS n_obs,
+        |    round(avg(rev) OVER win, 4) AS ma20,
+        |    round(stddev_samp(rev) OVER win, 4) AS sd20
+        |  FROM daily
+        |  WINDOW win AS (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |b AS (
+        |  SELECT day, rev, ma20, sd20,
+        |    round(ma20 + 2.0 * sd20, 4) AS upper,
+        |    round(ma20 - 2.0 * sd20, 4) AS lower
+        |  FROM w WHERE n_obs >= 20)
+        |SELECT day, rev, ma20, sd20, upper, lower,
+        |  CASE WHEN upper > lower
+        |       THEN round((rev - lower) / (upper - lower), 6) END AS pctb
+        |FROM b ORDER BY day""".stripMargin,
     "win_ewma" -> ewmaOracle,
     "win_beta" ->
       """WITH daily AS (
