@@ -77,6 +77,30 @@ class Round18OpsSpec extends SparkSpec {
     assertProvenDtypes(rec)
   }
 
+  test("round-18 finance rows hold their definitional bounds on real data") {
+    // the oracle proves value equality; these pin the FORMULAS' invariant
+    // ranges so a future refactor that stays self-consistent across both
+    // engines (and so still hash-matches) but breaks the definition fails
+    import org.apache.spark.sql.functions.col
+    val gini = Aggregations.aggGini(spark, sf01)
+    assert(gini.filter(col("gini") < 0.0 || col("gini") >= 1.0).count() === 0,
+      "Gini out of [0, 1)")
+    assert(gini.count() === 5, "one row per market segment")
+    val rsi = TimeSeries.tsRsi(spark, sf01)
+    assert(rsi.filter(col("rsi") < 0.0 || col("rsi") > 100.0).count() === 0,
+      "RSI out of [0, 100]")
+    val ent = Aggregations.aggEntropy(spark, sf01)
+    assert(ent.filter(col("entropy_norm") < 0.0 || col("entropy_norm") > 1.0).count() === 0,
+      "normalized entropy out of [0, 1]")
+    assert(ent.filter(col("entropy") < 0.0).count() === 0, "entropy negative")
+    val gk = TimeSeries.tsGarmanKlass(spark, sf01)
+    assert(gk.filter(col("gk_vol") < 0.0).count() === 0, "GK vol negative")
+    val boll = TimeSeries.tsBollinger(spark, sf01)
+    assert(boll.filter(col("upper") < col("lower")).count() === 0,
+      "upper band below lower")
+    Seq(gini, rsi, ent, gk, boll).foreach(assertProvenDtypes)
+  }
+
   test("trained-centroid memo keys on rounds: trained:1 -> trained:8 retrains in-session") {
     // Object identity is the observable: a memo HIT returns the same
     // DataFrame instance, so a different rounds value returning the same
