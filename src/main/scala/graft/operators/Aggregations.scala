@@ -196,12 +196,68 @@ object Aggregations {
       .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("seg"), col("c_custkey"))
       .agg(sum(col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("cents"))
-    val w = Window.partitionBy("seg").orderBy(col("cents"), col("c_custkey"))
-    cust.withColumn("rk", row_number().over(w).cast("long"))
+    val nb = graft.ScaleRules.bytesScaledCount(
+      spark, s"$sfDir/customer.parquet", 4L << 20, 256)
+    giniCore(cust, nb)
+  }
+
+  /** The rank/sum core over an arbitrary (seg, c_custkey, cents) relation —
+    * separated so the spec can feed synthetic frames (the s1-overflow case
+    * needs cents values no testdata SF produces).
+    *
+    * Round 19 rework, two changes that keep every output value identical:
+    *
+    *  1. PARTITION-PARALLEL RANKS (the winNtileCume round-7 decomposition,
+    *     this time per segment): the previous form ranked each segment in
+    *     ONE window partition — parallelism 5 at any corpus size. Here
+    *     order-preserving VALUE buckets over the global cents domain
+    *     (bounds via one aggregate broadcast back — no driver collect;
+    *     equal cents share a bucket by construction, so the (cents,
+    *     custkey) total order is bucket-respecting) give per-(seg, bucket)
+    *     local ranks, and Σ rank·cents decomposes exactly:
+    *       Σ_b [ Σ lr·cents  +  offset_b · Σ cents_b ]
+    *     with offset_b the exclusive prefix row count over the ≤nb-row
+    *     per-segment bucket table (the only remaining per-segment window
+    *     runs on bucket-count rows, not customers). `nb` scales by source
+    *     bytes through ScaleRules.bytesScaledCount (floored at
+    *     winNtileCume's 256; ~4 MB of customer parquet per bucket keeps
+    *     each local-rank sort partition far inside a task's grant).
+    *  2. EXACT DECIMAL s1 (round-18 ADVICE): rank·cents summed as LONG
+    *     overflows around sf12 (rank grows with customers, cents with
+    *     revenue — the sum is ~quadratic in n_cust); under ANSI it aborts,
+    *     without ANSI it silently wraps, while DuckDB sums BIGINT into
+    *     HUGEINT. Both s1 terms now multiply and accumulate in
+    *     DECIMAL(38,0) — exact for any reachable corpus — and only the
+    *     final gini expression casts to double, which is the same
+    *     nearest-double conversion DuckDB applies to its HUGEINT, so the
+    *     oracle needs no change and the 6-dp boundary stays proof-exact.
+    */
+  private[graft] def giniCore(cust: DataFrame, nb: Int): DataFrame = {
+    val bounds = cust.agg(min("cents").as("lo"), max("cents").as("hi"))
+    // integer bucket index: monotone in cents, exact, ∈ [0, nb-1]
+    // ((cents-lo) ≤ hi-lo < hi-lo+1; products stay far under Long range —
+    // cents-lo is bounded by the revenue span, nb by 100k). DIV, not `/`:
+    // Spark's `/` on longs is DOUBLE division, whose rounding could move a
+    // boundary value across buckets at large magnitudes.
+    val bucketed = Fanout.broadcastAll(cust, bounds, col("c_custkey"), col("lo"))
+      .withColumn("bkt",
+        expr(s"CAST(((cents - lo) * ${nb}L) DIV (hi - lo + 1L) AS INT)"))
+    val wLocal = Window.partitionBy("seg", "bkt").orderBy("cents", "c_custkey")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+    val perBucket = bucketed
+      .withColumn("lr", row_number().over(wLocal).cast("long"))
+      .groupBy("seg", "bkt")
+      .agg(count(lit(1)).as("bn"),
+        sum("cents").as("bsum"),
+        sum(dec(col("lr")) * dec(col("cents"))).as("s1l"))
+    val wOff = Window.partitionBy("seg").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perBucket
+      .withColumn("off", coalesce(sum("bn").over(wOff), lit(0L)))
       .groupBy("seg")
-      .agg(count(lit(1)).as("n_cust"),
-        sum("cents").as("total_cents"),
-        sum(col("rk") * col("cents")).as("s1"))
+      .agg(sum("bn").as("n_cust"),
+        sum("bsum").as("total_cents"),
+        sum(col("s1l") + dec(col("off")) * dec(col("bsum"))).as("s1"))
       .withColumn("gini", round(
         lit(2.0) * col("s1").cast("double")
           / (col("n_cust").cast("double") * col("total_cents").cast("double"))

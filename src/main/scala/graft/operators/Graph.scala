@@ -275,9 +275,13 @@ object Graph {
   /** The propagation core: Pregel-style driver loop to the FIXPOINT.
     * Graph state is the pagerank adjacency form (self-loop appended so a
     * node's own label competes in the same min and the node set is
-    * preserved); per round one node-sized label exchange + one explode
-    * that pipelines into the min partial-agg; lineage truncated by an
-    * eager per-round localCheckpoint. Convergence check costs one tiny
+    * preserved); per hop one node-sized label exchange + one explode
+    * that pipelines into the min partial-agg; rounds 3+ chain TWO hops
+    * per checkpointed round (round 19 — hop 2 joins exchange-free on the
+    * hop-1 aggregate's partitioning, so deep graphs pay the checkpoint +
+    * convergence-aggregate fixed costs half as often, while ≤2-hop
+    * graphs keep their old schedule); lineage truncated by an eager
+    * per-round localCheckpoint. Convergence check costs one tiny
     * aggregate, no join: labels only ever DECREASE, so the label sum is
     * strictly monotone and fixpoint ⟺ sum unchanged. Returns the
     * checkpointed (node, lbl) relation, edge cache released. */
@@ -323,6 +327,14 @@ object Graph {
     var prevSum = lab.agg(sum("lbl")).head().get(0)
     var converged = prevSum == null // empty graph is trivially converged
     var iter = 0
+    var hops = 0
+    // One propagation HOP: join labels to the cached adjacency (both sides
+    // hash-partitioned on a — no exchange), explode, min per node (the one
+    // exchange). Factored so a round can chain hops before checkpointing.
+    def hop(l: DataFrame): DataFrame =
+      adjF.join(l.select(col("node").as("a"), col("lbl")), "a")
+        .select(explode(col("nbrs")).as("node"), col("lbl"))
+        .groupBy("node").agg(min("lbl").as("lbl"))
     while (!converged && iter < CcMaxRounds) {
       // Plain one-hop propagation, no pointer jumping: an A/B against the
       // lbl ← lbl(lbl) shortcut (halves rounds, ~20 → 7 at sf0.1) showed
@@ -331,19 +343,34 @@ object Graph {
       // plain; x100 identical inside the band — the ×100 graph is dense,
       // so its diameter is small and plain propagation already converges
       // in ~7 rounds there).
-      val next = adjF.join(lab.select(col("node").as("a"), col("lbl")), "a")
-        .select(explode(col("nbrs")).as("node"), col("lbl"))
-        .groupBy("node").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
+      // Round 19: ADAPTIVE hop pairing. Rounds 1–2 stay single-hop, later
+      // rounds chain TWO hops before the checkpoint. Each hop still costs
+      // exactly one exchange (the hop-1 aggregate comes out partitioned on
+      // node = a, so hop 2's join is exchange-free), but a paired round
+      // pays the checkpoint materialization, the convergence aggregate,
+      // and their per-job driver/AQE planning gaps HALF as often — the
+      // round-19 A/B measured graph_cc (8 hops deep) at 5.99 s old vs
+      // 5.11 s with pairing, while UNCONDITIONAL pairing regressed the
+      // shallow LLM CC graphs (llm_minhash_dedup_keep converges in ONE
+      // hop; pairing from round 1 doubled its propagation work, 2.42 →
+      // 3.29 s). Two single-hop rounds first keep every ≤2-hop graph on
+      // its exact old schedule; only graphs that are still moving after
+      // 2 hops — where depth, not the confirm round, dominates — switch
+      // to pairs. Min-label propagation past the fixpoint is idempotent,
+      // so over-running one extra hop when a deep graph converges at an
+      // odd hop count changes nothing but that hop.
+      val hopsThisRound = if (iter < 2) 1 else 2
+      val next = (if (hopsThisRound == 1) hop(lab) else hop(hop(lab))).localCheckpoint()
       val s = next.agg(sum("lbl")).head().get(0)
       lab = next
       converged = s == prevSum
       prevSum = s
       iter += 1
+      hops += hopsThisRound
     }
     require(converged,
-      s"ccPropagate did not converge within $CcMaxRounds rounds — component diameter bug?")
-    System.err.println(s"[ccPropagate] converged in $iter rounds")
+      s"ccPropagate did not converge within $CcMaxRounds rounds ($hops hops) — component diameter bug?")
+    System.err.println(s"[ccPropagate] converged in $iter rounds / $hops hops")
     adjF.unpersist()
     lab
   }

@@ -240,8 +240,16 @@ object LlmText {
   private[graft] def bpeFromWordFreqs(spark: SparkSession,
       words: org.apache.spark.sql.Dataset[(String, Long)], k: Int): DataFrame = {
     import spark.implicits._
+    // Per-round LINEAGE TRUNCATION (round 19): the previous cache()+count()
+    // kept every round's logical plan rooted at the full corpus lineage, so
+    // round r's argmax query re-analyzed an r-maps-deep plan — ProfileJobs
+    // measured the per-job DRIVER GAP growing 44 → 333 ms across the 10
+    // rounds (jobs themselves 10–100 ms; the 10.8 s cold wall was ~80%
+    // driver planning). localCheckpoint (the ccPropagate discipline) roots
+    // each round at a LogicalRDD: constant-size plans, one materialize job
+    // per round, same vocabulary-table dataflow at any scale.
     var seqs: org.apache.spark.sql.Dataset[(Seq[String], Long)] =
-      words.map { case (w, f) => (w.map(_.toString): Seq[String], f) }.cache()
+      words.map { case (w, f) => (w.map(_.toString): Seq[String], f) }.localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
     var rank = 1
     var exhausted = false
@@ -256,14 +264,10 @@ object LlmText {
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank.toLong, l, r, l + r, c))
-        val next = seqs.map { case (syms, f) => (applyMerge(syms, l, r), f) }.cache()
-        next.count()
-        seqs.unpersist()
-        seqs = next
+        seqs = seqs.map { case (syms, f) => (applyMerge(syms, l, r), f) }.localCheckpoint()
         rank += 1
       }
     }
-    seqs.unpersist()
     merges.toSeq.toDF("rank", "left", "right", "merged", "pair_freq")
       .orderBy("rank")
   }

@@ -519,10 +519,13 @@ object LlmVector {
     * so every unset-knob plan keeps its width byte-identical
     * (Round18OpsSpec pins both branches). Floor of 4 KB: maxRank is a
     * session conf, and an absurd value must degrade to more tasks, not a
-    * zero budget. */
+    * zero budget — which requires the divisor itself to be clamped ≥ 1
+    * (round-18 ADVICE: maxRank=0 threw ArithmeticException and negative
+    * values silently floored, despite this docstring's promise). */
   private[graft] def annCandidateTaskBytes(spark: SparkSession): Long =
     math.max(4L << 10,
-      graft.ScaleRules.AnnCandidateTaskBytes * (3 + 2 * MaxBits) / maxRank(spark))
+      graft.ScaleRules.AnnCandidateTaskBytes * (3 + 2 * MaxBits)
+        / math.max(1, maxRank(spark)))
 
   /** Sign-bit bucket: bit j set iff hyperplane-j projection > 0, low b bits
     * only. The projection folds left-to-right in double (zip_with +
@@ -812,8 +815,11 @@ object LlmVector {
   private[graft] def annServeCandidates(
       spark: SparkSession, sfDir: String, queries: DataFrame): DataFrame = {
     graft.functions.IvfTopCells.register(spark)
-    val n = Tables.embeddings(spark, sfDir)
-      .filter(col("embedding").isNotNull).count()
+    // count(*) over ALL embeddings rows — the batch path's nRow and the
+    // DuckDB bparam both count unfiltered, and bucketBitsScalar can land
+    // one bit lower under an isNotNull filter when null embeddings exist
+    // (round-18 ADVICE: the stream must probe EXACTLY the batch cells)
+    val n = Tables.embeddings(spark, sfDir).count()
     val nprobe = math.min(
       nprobeScalar(spark.conf.get("spark.graft.ann.probeLaw", "log"),
         bucketBitsScalar(n)),

@@ -37,11 +37,13 @@ for p in "${POINTS[@]}"; do
   # stderr goes to a per-point file and the exit status is checked: a
   # crashed probe JVM must leave a loud FAILED marker, not a silently
   # missing frontier point (r17 advisory — one j300 JVM died unseen).
-  ERRF="$LOG.$(echo "$dir|$law|$cent" | tr '/|:' '___').stderr"
+  # $which is part of the point identity: ivf vs ivfpq on the same
+  # dir/law/centroids must not overwrite each other's stderr (r18 ADVICE)
+  ERRF="$LOG.$(echo "$dir|$law|$cent|$which" | tr '/|:' '___').stderr"
   if ! SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-24g} \
     tools/run_tool.sh graft.tools.RecallProbe "$dir" 997 "$law" "$which" "$cent" \
     2>"$ERRF" | grep '"law"' | tee -a "$LOG"; then
-    echo "[frontier] FAILED $dir|$law|$cent — stderr in $ERRF" | tee -a "$LOG" >&2
+    echo "[frontier] FAILED $dir|$law|$cent|$which — stderr in $ERRF" | tee -a "$LOG" >&2
   fi
 done
 echo "[frontier] done — $LOG" >&2
