@@ -175,6 +175,11 @@ object ScaleStress {
     // per-edge Jaccard (sorted-adjacency intersect — degree²-shape,
     // capped with graph_triangles)
     "graph_cc", "graph_jaccard",
+    // round 19: agg_gini's rank pass went partition-parallel (value
+    // buckets + prefix offsets — the winNtileCume decomposition) exactly
+    // BECAUSE of its ×100 shape; the sweep must hold that claim to a
+    // measured ratio like the rest of the window family
+    "agg_gini",
     // round 12 batch 6: CUSUM (daily agg + calendar-sized windows),
     // streaks (one event-grain distinct + user-sized windows), Benford
     // (scan + ≤9-row shuffle), QUALIFY (rank-limit-pushed window)
